@@ -1,0 +1,145 @@
+"""Loss parity tests against torch oracles implementing the documented
+reference semantics (SURVEY.md §2.1 loss rows)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from torchseg_tpu.ops.losses import (
+    cross_entropy_with_ignore,
+    prob_ohem_cross_entropy,
+    sigmoid_focal_loss_border,
+    CITYSCAPES_CLASS_WEIGHTS,
+)
+
+
+def _rand_scores_labels(rng, b=2, h=8, w=8, c=5, ignore=255, frac_ignore=0.2):
+    scores = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    labels = rng.integers(0, c, size=(b, h, w))
+    mask = rng.random(size=(b, h, w)) < frac_ignore
+    labels = np.where(mask, ignore, labels).astype(np.int32)
+    return scores, labels
+
+
+def test_ce_matches_torch():
+    rng = np.random.default_rng(0)
+    scores, labels = _rand_scores_labels(rng)
+    got = float(cross_entropy_with_ignore(scores, labels, 255))
+    want = F.cross_entropy(
+        torch.from_numpy(scores).permute(0, 3, 1, 2),
+        torch.from_numpy(labels).long(),
+        ignore_index=255,
+    ).item()
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_ce_weighted_matches_torch():
+    rng = np.random.default_rng(1)
+    scores, labels = _rand_scores_labels(rng, c=19)
+    got = float(
+        cross_entropy_with_ignore(
+            scores, labels, 255, class_weights=CITYSCAPES_CLASS_WEIGHTS
+        )
+    )
+    want = F.cross_entropy(
+        torch.from_numpy(scores).permute(0, 3, 1, 2),
+        torch.from_numpy(labels).long(),
+        weight=torch.from_numpy(CITYSCAPES_CLASS_WEIGHTS),
+        ignore_index=255,
+    ).item()
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_ce_negative_ignore_label():
+    # ADE uses ignore_label = -1 (labels shifted by -1 in the loader)
+    rng = np.random.default_rng(2)
+    scores = rng.normal(size=(2, 4, 4, 150)).astype(np.float32)
+    labels = rng.integers(-1, 150, size=(2, 4, 4)).astype(np.int32)
+    got = float(cross_entropy_with_ignore(scores, labels, -1))
+    want = F.cross_entropy(
+        torch.from_numpy(scores).permute(0, 3, 1, 2),
+        torch.from_numpy(labels).long(),
+        ignore_index=-1,
+    ).item()
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def _ohem_torch_oracle(scores, labels, ignore, thresh, min_kept):
+    """Independent torch implementation of the OHEM spec from SURVEY.md:
+    keep pixels whose GT-class prob <= max(thresh, kth-smallest prob)."""
+    pred = torch.from_numpy(scores).permute(0, 3, 1, 2)
+    target = torch.from_numpy(labels).long()
+    b, c, h, w = pred.shape
+    tflat = target.view(-1)
+    valid = tflat.ne(ignore)
+    num_valid = valid.sum().item()
+    tsafe = tflat * valid.long()
+    prob = F.softmax(pred, dim=1).permute(1, 0, 2, 3).reshape(c, -1)
+    if min_kept > num_valid:
+        pass  # no filtering
+    elif num_valid > 0:
+        prob = prob.masked_fill(~valid, 1.0)
+        gt_prob = prob[tsafe, torch.arange(len(tsafe))]
+        threshold = thresh
+        if min_kept > 0:
+            _, index = torch.sort(gt_prob)
+            threshold_index = index[min(len(index), min_kept) - 1]
+            if gt_prob[threshold_index] > thresh:
+                threshold = gt_prob[threshold_index].item()
+            kept = gt_prob.le(threshold)
+            tsafe = tsafe * kept.long()
+            valid = valid * kept
+    tfinal = tsafe.masked_fill(~valid, ignore).view(b, h, w)
+    return F.cross_entropy(pred, tfinal, ignore_index=ignore).item()
+
+
+@pytest.mark.parametrize("min_kept", [0, 8, 50, 100000])
+@pytest.mark.parametrize("thresh", [0.3, 0.7])
+def test_ohem_matches_oracle(min_kept, thresh):
+    rng = np.random.default_rng(min_kept + int(thresh * 10))
+    scores, labels = _rand_scores_labels(rng, b=2, h=8, w=8, c=7)
+    got = float(
+        prob_ohem_cross_entropy(
+            scores, labels, 255, thresh=thresh, min_kept=min_kept
+        )
+    )
+    want = _ohem_torch_oracle(scores, labels, 255, thresh, min_kept)
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_ohem_all_ignored_is_finite():
+    scores = np.zeros((1, 4, 4, 3), np.float32)
+    labels = np.full((1, 4, 4), 255, np.int32)
+    got = float(prob_ohem_cross_entropy(scores, labels, 255, min_kept=4))
+    assert np.isfinite(got)
+
+
+def _focal_torch_oracle(pred, target, ignore, gamma, alpha):
+    """Torch implementation of the reference formula (loss_opr.py:14-45)."""
+    pred_t = torch.from_numpy(pred).permute(0, 3, 1, 2)
+    target_t = torch.from_numpy(target)
+    b, _, h, w = pred_t.shape
+    p = pred_t.reshape(b, -1, 1)
+    s = p.sigmoid()
+    t = target_t.view(b, -1).float()
+    mask = t.ne(ignore).float()
+    t = mask * t
+    onehot = t.view(b, -1, 1)
+    max_val = (-s).clamp(min=0)
+    pos = (1 - s) ** gamma * (s - s * onehot)
+    neg = s**gamma * (max_val + ((-max_val).exp() + (-s - max_val).exp()).log())
+    loss = -(alpha * pos + (1 - alpha) * neg).sum(dim=-1) * mask
+    return loss.mean().item()
+
+
+def test_focal_matches_oracle():
+    rng = np.random.default_rng(5)
+    pred = rng.normal(size=(2, 8, 8, 1)).astype(np.float32) * 3
+    target = rng.integers(0, 2, size=(2, 8, 8))
+    target = np.where(rng.random(size=target.shape) < 0.3, 255, target).astype(
+        np.int32
+    )
+    got = float(sigmoid_focal_loss_border(pred, target, 255))
+    want = _focal_torch_oracle(pred, target, 255, 2.0, 0.25)
+    assert got == pytest.approx(want, rel=1e-4, abs=1e-5)

@@ -1,0 +1,155 @@
+"""Segmentation losses — jit-compatible, static-shape rebuilds of the
+reference's ``furnace/seg_opr/loss_opr.py``.
+
+The OHEM loss replaces torch's data-dependent sort/boolean-mask flow
+(reference loss_opr.py:68-97) with a static-shape formulation: a full sort
+gives the k-th smallest GT-probability, the dynamic ``min_kept > num_valid``
+branch becomes a ``jnp.where`` on the kept mask, and "dropped" pixels are
+excluded by masking rather than by writing ignore_label and re-running CE.
+Everything compiles to one fused XLA program; nothing leaves the device.
+"""
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Cityscapes 19-class weights used by ProbOhemCrossEntropy2d(use_weight=True)
+# (reference loss_opr.py:57-60).
+CITYSCAPES_CLASS_WEIGHTS = np.array(
+    [
+        1.4297, 1.4805, 1.4363, 3.365, 2.6635, 1.4311, 2.1943, 1.4817,
+        1.4513, 2.1984, 1.5295, 1.6892, 3.2224, 1.4727, 7.5978, 9.4117,
+        15.2588, 5.6818, 2.2067,
+    ],
+    dtype=np.float32,
+)
+
+
+def one_hot(labels: jnp.ndarray, num_classes: int, dtype=jnp.float32):
+    """(B,H,W) int labels -> (B,H,W,C) one-hot (reference seg_oprs.py:14-21,
+    NHWC instead of NCHW)."""
+    return jax.nn.one_hot(labels, num_classes, dtype=dtype)
+
+
+def cross_entropy_with_ignore(
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_label: int,
+    class_weights: Optional[jnp.ndarray] = None,
+):
+    """Mean softmax cross entropy over non-ignored pixels.
+
+    Matches ``torch.nn.CrossEntropyLoss(reduction='mean', ignore_index=...)``
+    — including the weighted case, where the mean is over the summed weights
+    of the valid pixels.  ``scores`` is NHWC (B,H,W,C); the reference applies
+    this both to raw logits (FCN/DFN) and to log-softmax outputs
+    (PSPNet/PSANet quirk, reference model/pspnet/*/network.py:50-55) — either
+    works because we re-apply log_softmax here exactly like torch does.
+    """
+    scores = scores.astype(jnp.float32)
+    valid = labels != ignore_label
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(scores, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights)[safe_labels]
+    else:
+        w = jnp.ones_like(nll)
+    w = w * valid.astype(jnp.float32)
+    denom = jnp.sum(w)
+    return jnp.sum(nll * w) / jnp.maximum(denom, 1e-12)
+
+
+def prob_ohem_cross_entropy(
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_label: int,
+    thresh: float = 0.7,
+    min_kept: int = 256,
+    class_weights: Optional[jnp.ndarray] = None,
+):
+    """Online hard example mining CE (reference loss_opr.py:48-97).
+
+    Semantics reproduced exactly:
+      * per-pixel probability of the GT class (softmax), invalid pixels set
+        to prob 1.0 so they sort last;
+      * threshold = max(thresh, k-th smallest prob) with
+        k = min(num_pixels, min_kept);
+      * keep pixels with prob <= threshold;
+      * if min_kept > num_valid the reference skips filtering entirely
+        (loss_opr.py:80-81) — expressed here as a where() on the kept mask;
+      * mean CE over kept pixels.
+
+    Shapes are static: the sort length is B*H*W regardless of the data.
+    """
+    scores = scores.astype(jnp.float32)
+    b, h, w, c = scores.shape
+    flat_scores = scores.reshape(-1, c)
+    flat_labels = labels.reshape(-1)
+    n = flat_labels.shape[0]
+
+    valid = flat_labels != ignore_label
+    safe_labels = jnp.where(valid, flat_labels, 0)
+    num_valid = jnp.sum(valid)
+
+    logp = jax.nn.log_softmax(flat_scores, axis=-1)
+    gt_logp = jnp.take_along_axis(logp, safe_labels[:, None], axis=-1)[:, 0]
+    gt_prob = jnp.exp(gt_logp)
+    # invalid pixels get prob 1 (reference masked_fill_, loss_opr.py:83)
+    gt_prob = jnp.where(valid, gt_prob, 1.0)
+
+    if min_kept > 0:
+        k = min(n, int(min_kept))
+        # k-th smallest — one ascending sort, fully static shape.
+        kth = jnp.sort(gt_prob)[k - 1]
+        threshold = jnp.maximum(kth, thresh)
+        kept = valid & (gt_prob <= threshold)
+        # min_kept > num_valid => no OHEM filtering (keep every valid pixel)
+        kept = jnp.where(min_kept > num_valid, valid, kept)
+    else:
+        # min_kept == 0: the reference never applies the threshold mask
+        # (loss_opr.py:85 guard), so every valid pixel contributes.
+        kept = valid
+
+    nll = -gt_logp
+    if class_weights is not None:
+        wgt = jnp.asarray(class_weights)[safe_labels]
+    else:
+        wgt = jnp.ones_like(nll)
+    wgt = wgt * kept.astype(jnp.float32)
+    denom = jnp.sum(wgt)
+    return jnp.sum(nll * wgt) / jnp.maximum(denom, 1e-12)
+
+
+def sigmoid_focal_loss_border(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    ignore_label: int,
+    gamma: float = 2.0,
+    alpha: float = 0.25,
+):
+    """DFN border-branch focal loss (reference loss_opr.py:14-45).
+
+    The reference formula (including its quirk of feeding *sigmoid outputs*
+    where logits are expected — see the in-code TODO at loss_opr.py:32) is
+    reproduced bit-for-bit, since trained checkpoints depend on it:
+
+      s = sigmoid(pred); with max_val = clamp(-s, min=0) == 0:
+      pos = (1-s)^gamma * (s - s*t)
+      neg = s^gamma * log(1 + exp(-s))
+      loss = mean_b,n( -(alpha*pos + (1-alpha)*neg) * valid )
+
+    ``pred`` is (B,H,W,1) border logits, ``target`` (B,H,W) in {0,1,ignore}.
+    """
+    pred = pred.astype(jnp.float32).reshape(pred.shape[0], -1)
+    target = target.reshape(target.shape[0], -1)
+    mask = (target != ignore_label).astype(jnp.float32)
+    t = mask * target.astype(jnp.float32)
+
+    s = jax.nn.sigmoid(pred)
+    pos_part = (1.0 - s) ** gamma * (s - s * t)
+    neg_part = s**gamma * jnp.log1p(jnp.exp(-s))
+    loss = -(alpha * pos_part + (1.0 - alpha) * neg_part) * mask
+    return jnp.mean(loss)
