@@ -1,0 +1,101 @@
+"""Model-family shape tests: every network builds, runs in train and eval
+mode, and produces label-resolution logits as documented in SURVEY.md §2.2."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from torchseg_tpu import models
+
+KEY = jax.random.PRNGKey(0)
+RNGS = {"params": KEY, "dropout": jax.random.PRNGKey(1)}
+
+
+def _run(model, x, train):
+    # init in train mode so every head (incl. train-only aux heads) exists
+    variables = model.init(RNGS, x, train=True)
+    if train:
+        out, _ = model.apply(
+            variables,
+            x,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+    else:
+        out = model.apply(variables, x, train=False)
+    return out
+
+
+def test_fcn32s():
+    m = models.fcn32s_r101(num_classes=21)
+    x = jnp.zeros((1, 64, 64, 3))
+    out = _run(m, x, train=True)
+    assert out["main"].shape == (1, 64, 64, 21)
+    assert out["aux"].shape == (1, 64, 64, 21)
+    pred = _run(m, x, train=False)
+    assert pred.shape == (1, 64, 64, 21)
+
+
+def test_pspnet():
+    m = models.pspnet_r50(num_classes=150)
+    x = jnp.zeros((1, 48, 48, 3))  # /8 = 6x6, divisible by pool scales
+    out = _run(m, x, train=True)
+    assert out["main"].shape == (1, 48, 48, 150)
+    assert out["aux"].shape == (1, 48, 48, 150)
+    # log_softmax output: logsumexp == 0
+    s = jax.nn.logsumexp(out["main"], axis=-1)
+    assert jnp.allclose(s, 0.0, atol=1e-4)
+
+
+def test_psanet():
+    m = models.psanet_r50(num_classes=150, att_channels=36)
+    x = jnp.zeros((1, 48, 48, 3))  # /8 = 6x6 -> 36 attention positions
+    out = _run(m, x, train=True)
+    assert out["main"].shape == (1, 48, 48, 150)
+
+
+def test_psanet_wrong_size_asserts():
+    m = models.psanet_r50(num_classes=150, att_channels=3600)
+    x = jnp.zeros((1, 48, 48, 3))
+    with pytest.raises(AssertionError):
+        _run(m, x, train=False)
+
+
+@pytest.mark.parametrize(
+    "factory,kwargs",
+    [
+        (models.bisenet_r18, {}),
+        (models.bisenet_r18, {"speed": True}),
+        (models.bisenet_x39, {}),
+        (models.bisenet_r101, {}),
+    ],
+)
+def test_bisenet_variants(factory, kwargs):
+    m = factory(num_classes=19, **kwargs)
+    x = jnp.zeros((1, 64, 64, 3))
+    out = _run(m, x, train=True)
+    speed = kwargs.get("speed", False)
+    if speed:
+        # ÷8-logit heads: aux0 at ÷8 (scale 2 from ÷16), main at ÷8
+        assert out["main"].shape == (1, 8, 8, 19)
+        assert out["aux0"].shape == (1, 8, 8, 19)
+        assert out["aux1"].shape == (1, 8, 8, 19)
+    else:
+        assert out["main"].shape == (1, 64, 64, 19)
+        assert out["aux0"].shape == (1, 64, 64, 19)
+    pred = _run(m, x, train=False)
+    assert pred.shape == ((1, 8, 8, 19) if speed else (1, 64, 64, 19))
+
+
+def test_dfn():
+    m = models.dfn_r101(num_classes=19)
+    x = jnp.zeros((1, 64, 64, 3))
+    out = _run(m, x, train=True)
+    assert len(out["smooth"]) == 4 and len(out["border"]) == 4
+    for s in out["smooth"]:
+        assert s.shape == (1, 64, 64, 19)
+    for b in out["border"]:
+        assert b.shape == (1, 64, 64, 1)
+    pred = _run(m, x, train=False)
+    assert pred.shape == (1, 64, 64, 19)

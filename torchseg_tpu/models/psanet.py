@@ -1,0 +1,116 @@
+"""PSANet — rebuild of reference model/psanet/ade.psanet.{R50,R101}_v1c/network.py.
+
+Point-wise Spatial Attention over a dilated (os=8) ResNet.  Collect and
+distribute branches each reduce to 512ch, predict an (H*W)-channel attention
+map, and aggregate features with a softmax-weighted einsum
+(network.py:75-144).  In NHWC the torch ``bmm(x_flat, softmax(att, dim=1))``
+becomes ``einsum('bij,bjc->bic', softmax(att, axis=-1), x_flat)`` — one
+MXU batch-matmul per branch.
+
+Like the reference (simplified vs the paper, README.md:91-94) the attention is
+predicted at feature-map size, which requires H*W == att_channels (3600 at the
+480-crop training size).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.blocks import ConvBnRelu, NormFactory, default_norm
+from ..ops.resize import upsample_by_scale
+from ..utils.init import kaiming_normal_init, torch_default_bias_init
+from .pspnet import AuxHead
+
+
+class PSABranch(nn.Module):
+    """reduction 1x1 CBR 512 -> [1x1 CBR 512 -> 1x1 conv(no bn/relu/bias) HW]
+    attention -> softmax-weighted aggregation."""
+
+    att_channels: int
+    inner: int = 512
+    norm: NormFactory = default_norm
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, _ = x.shape
+        assert h * w == self.att_channels, (
+            f"PSA attention is predicted at feature size: got {h}x{w}, "
+            f"need H*W == {self.att_channels}"
+        )
+        red = ConvBnRelu(self.inner, 1, 1, 0, norm=self.norm, dtype=self.dtype,
+                         name="reduction")(x, train)
+        att = ConvBnRelu(512, 1, 1, 0, norm=self.norm, dtype=self.dtype,
+                         name="att_cbr")(red, train)
+        att = ConvBnRelu(
+            self.att_channels, 1, 1, 0, has_bn=False, has_relu=False,
+            norm=self.norm, dtype=self.dtype, name="att_out"
+        )(att, train)
+        # att[b, i, j]: how much position i collects from position j
+        att = jax.nn.softmax(
+            att.reshape(b, h * w, self.att_channels).astype(jnp.float32),
+            axis=-1,
+        )
+        red_flat = red.reshape(b, h * w, self.inner).astype(jnp.float32)
+        fm = jnp.einsum("bij,bjc->bic", att, red_flat)
+        return fm.reshape(b, h, w, self.inner).astype(x.dtype)
+
+
+class PointwiseSpatialAttention(nn.Module):
+    """Both PSA branches + projection + conv6 head (network.py:75-144)."""
+
+    out_planes: int
+    att_channels: int = 3600
+    norm: NormFactory = default_norm
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        collect = PSABranch(self.att_channels, norm=self.norm,
+                            dtype=self.dtype, name="collect")(x, train)
+        distribute = PSABranch(self.att_channels, norm=self.norm,
+                               dtype=self.dtype, name="distribute")(x, train)
+        psa = jnp.concatenate([collect, distribute], axis=-1)
+        psa = ConvBnRelu(2048, 1, 1, 0, norm=self.norm, dtype=self.dtype,
+                         name="proj")(psa, train)
+        fm = jnp.concatenate([x, psa], axis=-1)
+        fm = ConvBnRelu(512, 3, 1, 1, norm=self.norm, dtype=self.dtype,
+                        name="conv6_cbr")(fm, train)
+        fm = nn.Dropout(0.1, deterministic=not train)(fm)
+        fm = nn.Conv(
+            self.out_planes,
+            (1, 1),
+            use_bias=True,
+            kernel_init=kaiming_normal_init(),
+            bias_init=torch_default_bias_init(512),
+            dtype=self.dtype,
+            name="conv6_out",
+        )(fm)
+        return fm
+
+
+class PSANet(nn.Module):
+    num_classes: int
+    backbone: nn.Module  # dilated os=8 resnet
+    att_channels: int = 3600
+    norm: NormFactory = default_norm
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        blocks = self.backbone(x, train)
+        psa = PointwiseSpatialAttention(
+            self.num_classes, self.att_channels, norm=self.norm,
+            dtype=self.dtype, name="psa_layer"
+        )(blocks[-1], train)
+        psa = upsample_by_scale(psa, 8, dtype=jnp.float32)
+        psa = jax.nn.log_softmax(psa, axis=-1)
+        if not train:
+            return psa
+        aux = AuxHead(self.num_classes, blocks[-2].shape[-1], norm=self.norm,
+                      dtype=self.dtype, name="aux_layer")(blocks[-2], train)
+        aux = upsample_by_scale(aux, 8, dtype=jnp.float32)
+        aux = jax.nn.log_softmax(aux, axis=-1)
+        return {"main": psa, "aux": aux}
