@@ -1,0 +1,162 @@
+"""Engine tests: SGD parity with torch.optim.SGD (param groups, wd masks,
+10x lr multipliers), PolyLR values, shard_map trainer end-to-end (loss
+decreases, params replicated), checkpoint roundtrip."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from torchseg_tpu.engine.optim import (
+    sgd_init,
+    sgd_update,
+    make_lr_mult_tree,
+    make_wd_tree,
+)
+from torchseg_tpu.engine.lr_policy import PolyLR, MultiStageLR
+from torchseg_tpu.engine.trainer import Trainer, TrainState, make_data_mesh
+from torchseg_tpu.engine.checkpoint import save_checkpoint, restore_checkpoint
+from torchseg_tpu.ops.losses import cross_entropy_with_ignore
+
+
+def test_sgd_matches_torch():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(4, 3)).astype(np.float32)
+    b = rng.normal(size=(3,)).astype(np.float32)
+    params = {"layer": {"kernel": jnp.array(w), "bias": jnp.array(b)}}
+    wd_tree = make_wd_tree(params, 1e-4)
+    buf = sgd_init(params)
+
+    wt = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    bt = torch.nn.Parameter(torch.from_numpy(b.copy()))
+    opt = torch.optim.SGD(
+        [
+            {"params": [wt], "weight_decay": 1e-4},
+            {"params": [bt], "weight_decay": 0.0},
+        ],
+        lr=0.1,
+        momentum=0.9,
+    )
+
+    for step in range(5):
+        gw = rng.normal(size=w.shape).astype(np.float32)
+        gb = rng.normal(size=b.shape).astype(np.float32)
+        grads = {"layer": {"kernel": jnp.array(gw), "bias": jnp.array(gb)}}
+        params, buf = sgd_update(
+            params, grads, buf, 0.1, momentum=0.9, wd=wd_tree
+        )
+        opt.zero_grad()
+        wt.grad = torch.from_numpy(gw)
+        bt.grad = torch.from_numpy(gb)
+        opt.step()
+
+    np.testing.assert_allclose(
+        np.asarray(params["layer"]["kernel"]), wt.detach().numpy(), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["layer"]["bias"]), bt.detach().numpy(), rtol=1e-5
+    )
+
+
+def test_lr_mult_tree():
+    params = {
+        "backbone": {"conv1": {"kernel": jnp.zeros((1,))}},
+        "head": {"conv": {"kernel": jnp.zeros((1,)), "bias": jnp.zeros((1,))}},
+    }
+    lm = make_lr_mult_tree(params, business_mult=10.0)
+    assert lm["backbone"]["conv1"]["kernel"] == 1.0
+    assert lm["head"]["conv"]["kernel"] == 10.0
+    wd = make_wd_tree(params, 5e-4)
+    assert wd["head"]["conv"]["kernel"] == 5e-4
+    assert wd["head"]["conv"]["bias"] == 0.0
+
+
+def test_poly_lr():
+    lr = PolyLR(1e-2, 0.9, 1000)
+    assert float(lr(0)) == pytest.approx(1e-2)
+    assert float(lr(500)) == pytest.approx(1e-2 * 0.5**0.9, rel=1e-6)
+    ms = MultiStageLR([[100, 0.1], [200, 0.01], [300, 0.001]])
+    assert float(ms(50)) == pytest.approx(0.1)
+    assert float(ms(150)) == pytest.approx(0.01)
+    assert float(ms(250)) == pytest.approx(0.001)
+
+
+def _make_tiny_model():
+    import functools
+    from flax import linen as nn
+    from torchseg_tpu.ops.blocks import ConvBnRelu
+    from torchseg_tpu.ops.norm import BatchNorm
+
+    class Tiny(nn.Module):
+        num_classes: int = 4
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            norm = functools.partial(BatchNorm, axis_name="data")
+            x = ConvBnRelu(8, 3, 1, 1, norm=norm, name="c1")(x, train)
+            x = nn.Conv(self.num_classes, (1, 1), name="out")(x)
+            return {"main": x}
+
+    return Tiny()
+
+
+def test_trainer_loss_decreases_and_replicated():
+    mesh = make_data_mesh(jax.devices()[:8])
+    model = _make_tiny_model()
+
+    def loss_fn(outs, batch):
+        return cross_entropy_with_ignore(outs["main"], batch["label"], 255)
+
+    trainer = Trainer(
+        model, loss_fn, PolyLR(0.5, 0.9, 100), mesh=mesh, donate=False
+    )
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(16, 8, 8, 3)).astype(np.float32)
+    # learnable target: class depends on channel-0 sign
+    labels = (images[..., 0] > 0).astype(np.int32)
+    batch = {"image": jnp.array(images), "label": jnp.array(labels)}
+
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    losses = []
+    for i in range(30):
+        state, loss, lr = trainer.train_step(
+            state, batch, jax.random.PRNGKey(i)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
+
+    # params stay replicated across devices
+    kernel = state.params["c1"]["conv"]["kernel"]
+    assert len(kernel.sharding.device_set) == 8
+
+
+def test_checkpoint_roundtrip():
+    mesh = make_data_mesh(jax.devices()[:8])
+    model = _make_tiny_model()
+
+    def loss_fn(outs, batch):
+        return cross_entropy_with_ignore(outs["main"], batch["label"], 255)
+
+    trainer = Trainer(model, loss_fn, PolyLR(0.1, 0.9, 100), mesh=mesh)
+    batch = {
+        "image": jnp.zeros((8, 8, 8, 3)),
+        "label": jnp.zeros((8, 8, 8), jnp.int32),
+    }
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, _, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+
+    with tempfile.TemporaryDirectory() as d:
+        path = save_checkpoint(d, state, epoch=3, extra={"note": "hi"})
+        assert os.path.islink(os.path.join(d, "epoch-last.ckpt"))
+        template = trainer.init_state(jax.random.PRNGKey(7), batch)
+        restored, epoch, extra = restore_checkpoint(path, template)
+        assert epoch == 3 and extra["note"] == "hi"
+        np.testing.assert_allclose(
+            np.asarray(restored.params["c1"]["conv"]["kernel"]),
+            np.asarray(state.params["c1"]["conv"]["kernel"]),
+        )
+        assert int(restored.step) == int(state.step)

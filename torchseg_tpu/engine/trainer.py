@@ -1,0 +1,161 @@
+"""Data-parallel trainer — the TPU-native replacement for the reference's
+``Engine`` + apex DDP + SyncBN stack (SURVEY.md §2.2 trainer skeleton).
+
+One jitted ``shard_map`` step over a 1-D device mesh:
+  * batch sharded on the ``data`` axis (the reference's per-process
+    ``batch_size // world_size`` split, model/*/dataloader.py:50-54);
+  * loss/grad computed per shard, gradients ``pmean``-reduced over ICI
+    (replacing NCCL bucket allreduce);
+  * BatchNorm stats synced inside the model via the same axis (SyncBN);
+  * SGD with poly-LR and per-group lr multipliers applied identically on
+    every shard, so params stay replicated.
+
+Multi-host: build the mesh over ``jax.devices()`` after
+``jax.distributed.initialize()`` — the same step function runs unchanged with
+the batch globally sharded; collectives ride ICI within a slice and DCN
+across slices.
+"""
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .optim import sgd_init, sgd_update
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    momentum: Any
+    step: jnp.ndarray  # int32 scalar
+
+    @classmethod
+    def create(cls, variables):
+        return cls(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            momentum=sgd_init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def make_data_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+class Trainer:
+    """Builds and runs the jitted data-parallel train step.
+
+    Args:
+      model: a Flax module whose __call__(x, train=True) returns head outputs.
+      loss_fn: (outputs, batch) -> scalar loss; batch is the per-shard dict.
+      lr_schedule: callable(step) -> lr (e.g. PolyLR), traced inside jit.
+      sgd_momentum / lr_mult / wd: optimizer config (see engine.optim).
+      mesh: 1-D device mesh; defaults to all local devices.
+    """
+
+    def __init__(
+        self,
+        model,
+        loss_fn: Callable,
+        lr_schedule: Callable,
+        sgd_momentum: float = 0.9,
+        lr_mult=None,
+        wd=None,
+        mesh: Optional[Mesh] = None,
+        axis: str = "data",
+        donate: bool = True,
+    ):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.lr_schedule = lr_schedule
+        self.sgd_momentum = sgd_momentum
+        self.lr_mult = lr_mult
+        self.wd = wd
+        self.mesh = mesh if mesh is not None else make_data_mesh()
+        self.axis = axis
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng, sample_batch) -> TrainState:
+        """Initialize replicated train state from one *per-shard* sample."""
+        params_rng, dropout_rng = jax.random.split(rng)
+        variables = self.model.init(
+            {"params": params_rng, "dropout": dropout_rng},
+            sample_batch["image"],
+            train=True,
+        )
+        state = TrainState.create(variables)
+        if self.lr_mult is not None or self.wd is not None:
+            pass  # trees already built by caller against these params
+        sharding = NamedSharding(self.mesh, P())
+        return jax.device_put(state, sharding)
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        axis = self.axis
+
+        def step(state: TrainState, batch, dropout_rng):
+            # per-shard dropout streams (reference: per-rank seeds, train.py:37-42)
+            dropout_rng = jax.random.fold_in(
+                dropout_rng, jax.lax.axis_index(axis)
+            )
+
+            def loss_wrapped(params):
+                outs, mutated = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["image"],
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": dropout_rng},
+                )
+                loss = self.loss_fn(outs, batch)
+                return loss, mutated["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_wrapped, has_aux=True
+            )(state.params)
+            # DDP gradient allreduce (mean over data shards)
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+
+            lr = self.lr_schedule(state.step)
+            new_params, new_momentum = sgd_update(
+                state.params,
+                grads,
+                state.momentum,
+                lr,
+                momentum=self.sgd_momentum,
+                lr_mult=self.lr_mult,
+                wd=self.wd,
+            )
+            new_state = TrainState(
+                params=new_params,
+                batch_stats=new_stats,
+                momentum=new_momentum,
+                step=state.step + 1,
+            )
+            return new_state, loss, lr
+
+        sharded = shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(P(), P(self.axis), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: TrainState, batch, dropout_rng):
+        """batch: global batch dict with leading dim = global batch size
+        (divisible by mesh size); returns (new_state, loss, lr)."""
+        return self._step_fn(state, batch, dropout_rng)
