@@ -1,0 +1,141 @@
+"""Data pipeline tests: transforms, manifest dataset IO, loader batching,
+DFN border labels."""
+
+import os
+import tempfile
+
+import cv2
+import numpy as np
+import pytest
+
+from torchseg_tpu.data import transforms as T
+from torchseg_tpu.data.base import ManifestDataset, SyntheticDataset
+from torchseg_tpu.data.cityscapes import Cityscapes
+from torchseg_tpu.data.preprocess import SegTrainPre, ADETrainPre, DFNTrainPre
+from torchseg_tpu.data.loader import TrainLoader
+
+
+def test_pad_image_to_shape_margins():
+    img = np.ones((5, 8, 3), np.float32)
+    out, margin = T.pad_image_to_shape(img, (9, 8), 0)
+    assert out.shape == (9, 8, 3)
+    assert list(margin) == [2, 2, 0, 0]
+    out, margin = T.pad_image_to_shape(img, (5, 11), 0)
+    assert out.shape == (5, 11, 3)
+    assert list(margin) == [0, 0, 1, 2]
+
+
+def test_pad_to_multiples():
+    img = np.zeros((33, 65), np.uint8)
+    out, _ = T.pad_image_size_to_multiples_of(img, 32, 0)
+    assert out.shape == (64, 96)
+
+
+def test_normalize():
+    img = np.full((2, 2, 3), 255, np.uint8)
+    out = T.normalize(img, np.array([0.5, 0.5, 0.5]), np.array([0.25, 1, 1]))
+    np.testing.assert_allclose(out[..., 0], 2.0)
+    np.testing.assert_allclose(out[..., 1], 0.5)
+
+
+def test_random_scale_interp():
+    rng = np.random.default_rng(0)
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1).repeat(3, axis=2)
+    gt = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    img2, gt2, s = T.random_scale(rng, img, gt, [2.0])
+    assert s == 2.0 and img2.shape[:2] == (8, 8) and gt2.shape == (8, 8)
+    # nearest keeps original label values only
+    assert set(np.unique(gt2)) <= set(range(16))
+
+
+def test_seg_train_pre_shapes():
+    pre = SegTrainPre(
+        np.array([0.485, 0.456, 0.406]),
+        np.array([0.229, 0.224, 0.225]),
+        crop_size=32,
+        train_scale_array=[0.75, 1, 1.5],
+    )
+    rng = np.random.default_rng(0)
+    img = np.random.default_rng(1).integers(0, 255, (41, 53, 3)).astype(np.uint8)
+    gt = np.random.default_rng(2).integers(0, 19, (41, 53)).astype(np.uint8)
+    p_img, p_gt, extra = pre(rng, img, gt)
+    assert p_img.shape == (32, 32, 3) and p_img.dtype == np.float32
+    assert p_gt.shape == (32, 32) and p_gt.dtype == np.int32
+    assert extra is None
+
+
+def test_ade_pre_shifts_labels():
+    pre = ADETrainPre(np.zeros(3), np.ones(3), crop_size=64)  # forces padding
+    rng = np.random.default_rng(0)
+    img = np.zeros((32, 32, 3), np.uint8)
+    gt = np.ones((32, 32), np.uint8)  # class 1 -> 0 after shift
+    p_img, p_gt, _ = pre(rng, img, gt)
+    vals = set(np.unique(p_gt))
+    assert vals == {-1, 0}  # padded 0 -> -1 (ignore), class 1 -> 0
+
+
+def test_dfn_pre_aux_label():
+    pre = DFNTrainPre(np.zeros(3), np.ones(3), crop_size=32)
+    rng = np.random.default_rng(0)
+    img = np.zeros((32, 32, 3), np.uint8)
+    gt = np.zeros((32, 32), np.uint8)
+    gt[:, 16:] = 5  # a vertical boundary
+    _, p_gt, extra = pre(rng, img, gt)
+    aux = extra["aux_label"]
+    assert aux.shape == (32, 32)
+    assert set(np.unique(aux)) <= {0, 1}
+    assert aux.sum() > 0  # the edge was detected and dilated
+
+
+def test_manifest_dataset_roundtrip(tmp_path):
+    img = np.random.default_rng(0).integers(0, 255, (10, 12, 3)).astype(np.uint8)
+    gt = np.random.default_rng(1).integers(0, 19, (10, 12)).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "img0.png"), img)
+    cv2.imwrite(str(tmp_path / "gt0.png"), gt)
+    manifest = tmp_path / "train.txt"
+    manifest.write_text("img0.png\tgt0.png\n")
+    ds = Cityscapes(
+        {
+            "img_root": str(tmp_path),
+            "gt_root": str(tmp_path),
+            "train_source": str(manifest),
+            "eval_source": str(manifest),
+        },
+        "train",
+        preprocess=None,
+    )
+    item = ds[0]
+    assert item["image"].shape == (10, 12, 3)
+    # BGR file read reversed to RGB
+    np.testing.assert_array_equal(item["image"][..., 0], img[..., 2])
+    np.testing.assert_array_equal(item["label"], gt)
+    assert item["fn"] == "gt0"
+
+
+def test_oversampled_length():
+    ds = SyntheticDataset(num_items=7)
+    loader = TrainLoader(ds, batch_size=4, num_workers=2)
+    assert len(loader) == 1  # 7 // 4, drop_last
+
+
+def test_loader_batches():
+    pre = SegTrainPre(np.zeros(3), np.ones(3), crop_size=16)
+    ds = SyntheticDataset(num_items=16, image_hw=(24, 24), preprocess=pre)
+    loader = TrainLoader(ds, batch_size=8, num_workers=4, seed=1)
+    loader.set_epoch(0)
+    batches = list(iter(loader))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (8, 16, 16, 3)
+    assert b["label"].shape == (8, 16, 16)
+    # different epochs shuffle differently
+    loader.set_epoch(1)
+    b2 = next(iter(loader))
+    assert not np.array_equal(b["image"], b2["image"])
+
+
+def test_cityscapes_transform_label():
+    pred = np.array([[0, 1], [18, 5]])
+    label, name = Cityscapes.transform_label(pred, "frankfurt_000000_000294_x.png")
+    np.testing.assert_array_equal(label, [[7, 8], [33, 17]])
+    assert name == "frankfurt_000000_000294.png"
