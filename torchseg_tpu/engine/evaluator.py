@@ -1,0 +1,280 @@
+"""Evaluator — sliding-window / whole-image inference with multi-scale + flip
+TTA; rebuild of reference ``furnace/engine/evaluator.py``.
+
+Algorithmic parity (evaluator.py:164-297):
+  * whole_eval: normalize+pad -> forward -> unpad -> resize scores
+    (INTER_LINEAR) -> argmax;
+  * sliding_eval: per scale, resize image; if long side <= crop, single padded
+    forward; else pad to crop, overlapping crop grid with
+    stride = ceil(crop * stride_rate), SUM of crop scores (no count
+    normalization, matching :243-245), unpad; scale scores resized to the
+    original size and summed over scales; argmax at the end;
+  * flip TTA: score = exp(f(x) + flip(f(flip(x)))) — exp of the sum, since
+    reference nets emit log-softmax (:255-275).
+
+TPU-native restructuring: all crops of a scale go through ONE batched forward
+(padded to power-of-two batch buckets to bound recompiles), replacing the
+reference's per-crop H2D/D2H loop and its one-process-per-GPU architecture;
+multi-host sharding slices the dataset by process index and merges confusion
+matrices (replacing mp.Queue, :96-146).
+"""
+
+import math
+import time
+from typing import Callable, Optional, Sequence
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.transforms import normalize, pad_image_to_shape
+from ..ops.metrics import ConfusionAccumulator
+from .logger import get_logger
+
+
+def _next_bucket(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+class Evaluator:
+    """Args:
+      apply_fn: (variables, images_nhwc) -> scores (B,H,W,C); must be the
+        model's eval-mode forward (log-softmax or raw logits, like the
+        reference networks).
+      variables: model variables ({'params':..., 'batch_stats':...}).
+      num_classes, image_mean, image_std: protocol constants.
+      multi_scales / is_flip / crop_size / stride_rate: TTA protocol
+        (per-experiment config, e.g. eval_scale_array).
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        variables,
+        num_classes: int,
+        image_mean,
+        image_std,
+        multi_scales: Sequence[float] = (1.0,),
+        is_flip: bool = False,
+        crop_size: Optional[int] = None,
+        stride_rate: float = 5 / 6,
+        max_batch: int = 16,
+        devices: Optional[Sequence] = None,
+    ):
+        self.apply_fn = apply_fn
+        self.variables = variables
+        self.num_classes = num_classes
+        self.image_mean = np.asarray(image_mean, np.float32)
+        self.image_std = np.asarray(image_std, np.float32)
+        self.multi_scales = list(multi_scales)
+        self.is_flip = is_flip
+        self.crop_size = crop_size
+        self.stride_rate = stride_rate
+        self.max_batch = max_batch
+        self.logger = get_logger()
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # device path
+    # ------------------------------------------------------------------
+    def _forward(self, batch_nhwc: np.ndarray) -> np.ndarray:
+        """Batched forward with optional flip TTA; returns exp-combined scores
+        as float32 numpy (B,H,W,C)."""
+        shape = batch_nhwc.shape
+        fn = self._jit_cache.get(shape)
+        if fn is None:
+            flip = self.is_flip
+
+            @jax.jit
+            def run(variables, x):
+                score = self.apply_fn(variables, x).astype(jnp.float32)
+                if flip:
+                    score_flip = self.apply_fn(variables, x[:, :, ::-1, :])
+                    score = score + score_flip[:, :, ::-1, :].astype(
+                        jnp.float32
+                    )
+                return jnp.exp(score)
+
+            fn = run
+            self._jit_cache[shape] = fn
+        return np.asarray(fn(self.variables, jnp.asarray(batch_nhwc)))
+
+    def _forward_crops(self, crops: np.ndarray) -> np.ndarray:
+        """Forward N crops, padding N to a bucket to bound recompiles."""
+        n = crops.shape[0]
+        outs = []
+        i = 0
+        while i < n:
+            take = min(self.max_batch, n - i)
+            bucket = min(_next_bucket(take), self.max_batch)
+            chunk = crops[i : i + take]
+            if take < bucket:
+                pad = np.zeros((bucket - take, *crops.shape[1:]), crops.dtype)
+                chunk = np.concatenate([chunk, pad])
+            outs.append(self._forward(chunk)[:take])
+            i += take
+        return np.concatenate(outs)
+
+    # ------------------------------------------------------------------
+    # reference algorithms
+    # ------------------------------------------------------------------
+    def process_image(self, img: np.ndarray, crop_size=None):
+        """normalize + optional pad (reference :277-297).  NHWC."""
+        p_img = img
+        if p_img.ndim == 2:
+            p_img = p_img[:, :, None]
+        if p_img.shape[2] < 3:
+            p_img = np.concatenate([p_img] * 3, axis=2)
+        p_img = normalize(p_img, self.image_mean, self.image_std)
+        if crop_size is not None:
+            p_img, margin = pad_image_to_shape(p_img, crop_size, 0)
+            return p_img, margin
+        return p_img
+
+    def whole_eval(self, img, output_size=None, input_size=None):
+        """Single forward on the (optionally padded) image (:164-183).
+        Returns argmax prediction at output_size (or input resolution)."""
+        if input_size is not None:
+            p_img, margin = self.process_image(img, input_size)
+        else:
+            p_img = self.process_image(img)
+            margin = None
+        score = self._forward(p_img[None])[0]
+        if margin is not None:
+            score = score[
+                margin[0] : score.shape[0] - margin[1],
+                margin[2] : score.shape[1] - margin[3],
+            ]
+        if output_size is not None and tuple(score.shape[:2]) != tuple(
+            output_size
+        ):
+            score = cv2.resize(
+                score,
+                (output_size[1], output_size[0]),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        return score.argmax(2)
+
+    def scale_process(self, img, ori_shape, crop_size, stride_rate):
+        """One scale of the sliding protocol (:202-253).  Returns HWC scores
+        resized to ori_shape."""
+        new_rows, new_cols = img.shape[:2]
+        long_size = max(new_rows, new_cols)
+
+        if long_size <= crop_size:
+            input_data, margin = self.process_image(img, crop_size)
+            score = self._forward(input_data[None])[0]
+            score = score[
+                margin[0] : score.shape[0] - margin[1],
+                margin[2] : score.shape[1] - margin[3],
+            ]
+        else:
+            stride = int(math.ceil(crop_size * stride_rate))
+            img_pad, margin = pad_image_to_shape(img, crop_size, 0)
+            pad_rows, pad_cols = img_pad.shape[:2]
+            r_grid = int(math.ceil((pad_rows - crop_size) / stride)) + 1
+            c_grid = int(math.ceil((pad_cols - crop_size) / stride)) + 1
+
+            norm_img = self.process_image(img_pad)
+            coords, crops = [], []
+            for gy in range(r_grid):
+                for gx in range(c_grid):
+                    e_x = min(gx * stride + crop_size, pad_cols)
+                    e_y = min(gy * stride + crop_size, pad_rows)
+                    s_x, s_y = e_x - crop_size, e_y - crop_size
+                    coords.append((s_y, s_x))
+                    crops.append(norm_img[s_y:e_y, s_x:e_x])
+            scores = self._forward_crops(np.stack(crops))
+
+            data_scale = np.zeros(
+                (pad_rows, pad_cols, self.num_classes), np.float32
+            )
+            for (s_y, s_x), sc in zip(coords, scores):
+                data_scale[s_y : s_y + crop_size, s_x : s_x + crop_size] += sc
+            score = data_scale[
+                margin[0] : data_scale.shape[0] - margin[1],
+                margin[2] : data_scale.shape[1] - margin[3],
+            ]
+
+        if tuple(score.shape[:2]) != tuple(ori_shape):
+            score = cv2.resize(
+                score,
+                (ori_shape[1], ori_shape[0]),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        return score
+
+    def sliding_eval(self, img, crop_size=None, stride_rate=None):
+        """Multi-scale sliding-window prediction (:186-200)."""
+        crop_size = crop_size or self.crop_size
+        stride_rate = stride_rate or self.stride_rate
+        ori_rows, ori_cols = img.shape[:2]
+        processed = np.zeros((ori_rows, ori_cols, self.num_classes), np.float32)
+        for s in self.multi_scales:
+            img_scale = cv2.resize(
+                img, None, fx=s, fy=s, interpolation=cv2.INTER_LINEAR
+            )
+            processed += self.scale_process(
+                img_scale, (ori_rows, ori_cols), crop_size, stride_rate
+            )
+        return processed.argmax(2)
+
+    # ------------------------------------------------------------------
+    # dataset loop
+    # ------------------------------------------------------------------
+    def run_dataset(
+        self,
+        dataset,
+        mode: str = "sliding",
+        output_size_from: str = "label",
+        gt_down_sampling: int = 1,
+        save_pred_dir: Optional[str] = None,
+        label_offset: int = 0,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ) -> ConfusionAccumulator:
+        """Evaluate a val dataset; returns the confusion accumulator.
+
+        mode: 'sliding' or 'whole'.  gt_down_sampling: compare at gt//k (the
+        speed variants evaluate at ÷8, reference R18.speed eval.py).
+        label_offset: added to raw labels (ADE uses -1).
+        process_index/count: multi-host shard (replaces the reference's
+        per-GPU mp.Process sharding).
+        """
+        pidx = process_index if process_index is not None else jax.process_index()
+        pcnt = process_count if process_count is not None else jax.process_count()
+        acc = ConfusionAccumulator(self.num_classes)
+        n = len(dataset)
+        t0 = time.time()
+        for idx in range(pidx, n, pcnt):
+            item = dataset[idx]
+            img, label = item["image"], item["label"]
+            if label_offset:
+                label = label.astype(np.int64) + label_offset
+            if gt_down_sampling > 1:
+                label = label[::gt_down_sampling, ::gt_down_sampling]
+            if mode == "sliding":
+                pred = self.sliding_eval(img)
+            else:
+                out_size = (
+                    label.shape if output_size_from == "label" else None
+                )
+                pred = self.whole_eval(img, output_size=out_size)
+            acc.update(pred.astype(np.int64), label.astype(np.int64))
+            if save_pred_dir is not None:
+                import os
+
+                os.makedirs(save_pred_dir, exist_ok=True)
+                cv2.imwrite(
+                    os.path.join(save_pred_dir, item["fn"] + ".png"),
+                    pred.astype(np.uint8),
+                )
+            if (idx // pcnt) % 10 == 0:
+                self.logger.info(
+                    "eval %d/%d (%.2fs/img)",
+                    idx + 1,
+                    n,
+                    (time.time() - t0) / max(idx // pcnt + 1, 1),
+                )
+        return acc
