@@ -24,12 +24,14 @@ class SegTrainPre:
         crop_size,
         train_scale_array: Optional[Sequence[float]] = None,
         gt_pad_value: int = 255,
+        gt_down_sampling: int = 1,
     ):
         self.img_mean = np.asarray(img_mean, np.float32)
         self.img_std = np.asarray(img_std, np.float32)
         self.crop_size = T.get_2dshape(crop_size)
         self.train_scale_array = train_scale_array
         self.gt_pad_value = gt_pad_value
+        self.gt_down_sampling = gt_down_sampling
 
     def __call__(self, rng, img, gt):
         img, gt = T.random_mirror(rng, img, gt)
@@ -43,6 +45,19 @@ class SegTrainPre:
         p_gt, _ = T.random_crop_pad_to_shape(
             gt, crop_pos, self.crop_size, self.gt_pad_value
         )
+        if self.gt_down_sampling > 1:
+            # speed variants train against ÷k labels (reference
+            # model/bisenet/*.speed/dataloader.py:28-31, INTER_NEAREST)
+            import cv2 as _cv2
+
+            p_gt = _cv2.resize(
+                p_gt,
+                (
+                    self.crop_size[1] // self.gt_down_sampling,
+                    self.crop_size[0] // self.gt_down_sampling,
+                ),
+                interpolation=_cv2.INTER_NEAREST,
+            )
         return p_img, p_gt.astype(np.int32), None
 
 

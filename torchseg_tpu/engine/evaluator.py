@@ -227,8 +227,8 @@ class Evaluator:
         self,
         dataset,
         mode: str = "sliding",
-        output_size_from: str = "label",
         gt_down_sampling: int = 1,
+        resize_to: Optional[Sequence[int]] = None,
         save_pred_dir: Optional[str] = None,
         label_offset: int = 0,
         process_index: Optional[int] = None,
@@ -236,8 +236,10 @@ class Evaluator:
     ) -> ConfusionAccumulator:
         """Evaluate a val dataset; returns the confusion accumulator.
 
-        mode: 'sliding' or 'whole'.  gt_down_sampling: compare at gt//k (the
-        speed variants evaluate at ÷8, reference R18.speed eval.py).
+        mode: 'sliding' or 'whole'.
+        resize_to + gt_down_sampling: the speed-variant protocol — resize the
+        input to (h, w) and the label (nearest) to (h//k, w//k), compare at
+        ÷k resolution (reference model/bisenet/*.speed/eval.py:25-40).
         label_offset: added to raw labels (ADE uses -1).
         process_index/count: multi-host shard (replaces the reference's
         per-GPU mp.Process sharding).
@@ -252,15 +254,29 @@ class Evaluator:
             img, label = item["image"], item["label"]
             if label_offset:
                 label = label.astype(np.int64) + label_offset
-            if gt_down_sampling > 1:
-                label = label[::gt_down_sampling, ::gt_down_sampling]
+            if resize_to is not None:
+                h, w = resize_to
+                img = cv2.resize(
+                    img, (w, h), interpolation=cv2.INTER_LINEAR
+                )
+                label = cv2.resize(
+                    label.astype(np.int32),
+                    (w // gt_down_sampling, h // gt_down_sampling),
+                    interpolation=cv2.INTER_NEAREST,
+                )
+            elif gt_down_sampling > 1:
+                label = cv2.resize(
+                    label.astype(np.int32),
+                    (
+                        label.shape[1] // gt_down_sampling,
+                        label.shape[0] // gt_down_sampling,
+                    ),
+                    interpolation=cv2.INTER_NEAREST,
+                )
             if mode == "sliding":
                 pred = self.sliding_eval(img)
             else:
-                out_size = (
-                    label.shape if output_size_from == "label" else None
-                )
-                pred = self.whole_eval(img, output_size=out_size)
+                pred = self.whole_eval(img, output_size=label.shape)
             acc.update(pred.astype(np.int64), label.astype(np.int64))
             if save_pred_dir is not None:
                 import os

@@ -1,0 +1,172 @@
+"""Evaluation entrypoint — replaces the reference's per-experiment ``eval.py``
+(SURVEY.md §3.2): loads checkpoints (single epoch, range 'a-b', or open 'a-'),
+runs the experiment's TTA protocol over the val set, prints the per-class IoU
+table, appends to val_*.log with a val_last.log link, and optionally dumps
+prediction PNGs.
+
+Usage:
+  python -m torchseg_tpu.eval -e cityscapes.bisenet.R18 \
+      --img-root ... --eval-source ... --snapshot-dir log/.../snapshot \
+      --epochs 79            # or 60-79, or 60-
+"""
+
+import argparse
+import glob
+import os
+import re
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from .data.base import SyntheticDataset
+from .engine.checkpoint import restore_checkpoint
+from .engine.evaluator import Evaluator
+from .engine.logger import get_logger
+from .engine.trainer import TrainState
+from .experiments.registry import (
+    DATASETS,
+    build_model,
+    build_loss_fn,
+    get_experiment,
+)
+from .utils.visualize import print_iou
+
+
+def parse_epochs(spec: str, snapshot_dir: str):
+    """'5' | '5-8' | '5-' | 'last' -> checkpoint paths
+    (reference engine/evaluator.py:43-94 modes)."""
+    if spec == "last":
+        return [os.path.join(snapshot_dir, "epoch-last.ckpt")]
+    if os.path.exists(spec):
+        return [spec]
+    m = re.fullmatch(r"(\d+)-(\d*)", spec)
+    if m:
+        lo = int(m.group(1))
+        if m.group(2):
+            hi = int(m.group(2))
+        else:
+            hi = max(
+                int(re.search(r"epoch-(\d+)", p).group(1))
+                for p in glob.glob(os.path.join(snapshot_dir, "epoch-*.ckpt"))
+                if re.search(r"epoch-(\d+)", p)
+            )
+        return [
+            os.path.join(snapshot_dir, f"epoch-{e}.ckpt")
+            for e in range(lo, hi + 1)
+            if os.path.exists(os.path.join(snapshot_dir, f"epoch-{e}.ckpt"))
+        ]
+    return [os.path.join(snapshot_dir, f"epoch-{int(spec)}.ckpt")]
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    p.add_argument("-e", "--experiment", required=True)
+    p.add_argument("--img-root", default=None)
+    p.add_argument("--gt-root", default=None)
+    p.add_argument("--eval-source", default=None)
+    p.add_argument("--snapshot-dir", default=None)
+    p.add_argument("--epochs", default="last")
+    p.add_argument("--log-dir", default="log")
+    p.add_argument("-p", "--save-path", default=None,
+                   help="dump prediction PNGs here")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="evaluate N synthetic images (smoke)")
+    return p
+
+
+def evaluate_checkpoint(cfg, variables, dataset, save_path=None):
+    model = build_model(cfg, axis_name=None)
+
+    def apply_fn(v, x):
+        return model.apply(v, x, train=False)
+
+    ev = Evaluator(
+        apply_fn,
+        variables,
+        cfg.num_classes,
+        cfg.image_mean,
+        cfg.image_std,
+        multi_scales=cfg.eval_scale_array,
+        is_flip=cfg.eval_flip,
+        crop_size=cfg.eval_crop_size,
+        stride_rate=cfg.eval_stride_rate,
+    )
+    acc = ev.run_dataset(
+        dataset,
+        mode=cfg.eval_mode,
+        gt_down_sampling=cfg.eval_gt_down_sampling,
+        resize_to=cfg.eval_resize_to,
+        save_pred_dir=save_path,
+        label_offset=cfg.eval_label_offset,
+    )
+    return acc
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = get_experiment(args.experiment)
+    log_dir = os.path.join(args.log_dir, cfg.name)
+    logger = get_logger(log_dir, None)
+
+    if args.synthetic:
+        dataset = SyntheticDataset(
+            num_items=args.synthetic,
+            image_hw=(cfg.eval_base_size, cfg.eval_base_size),
+            num_classes=cfg.num_classes,
+        )
+    else:
+        ds_cls = DATASETS[cfg.dataset]
+        setting = {
+            "img_root": args.img_root,
+            "gt_root": args.gt_root or args.img_root,
+            "train_source": args.eval_source,
+            "eval_source": args.eval_source,
+        }
+        dataset = ds_cls(setting, "val", preprocess=None)
+
+    # template state for checkpoint restore
+    model = build_model(cfg, axis_name=None)
+    import jax
+
+    dummy = jnp.zeros((1, cfg.image_height, cfg.image_width, 3))
+    template_vars = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        dummy,
+        train=True,
+    )
+    template = TrainState.create(template_vars)
+
+    snapshot_dir = args.snapshot_dir or os.path.join(log_dir, "snapshot")
+    val_log = os.path.join(
+        log_dir, f"val_{time.strftime('%Y_%m_%d_%H_%M_%S')}.log"
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    results = []
+    for path in parse_epochs(str(args.epochs), snapshot_dir):
+        state, epoch, _ = restore_checkpoint(path, template)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        acc = evaluate_checkpoint(cfg, variables, dataset, args.save_path)
+        iou, miou, miou_nb, pixacc = acc.scores()
+        names = DATASETS[cfg.dataset].get_class_names() if not args.synthetic \
+            else None
+        table = print_iou(iou, pixacc, names,
+                          show_no_back=cfg.dataset != "cityscapes")
+        line = f"== epoch {epoch}: mIoU {miou * 100:.2f} ==\n{table}\n"
+        logger.info("\n%s", line)
+        with open(val_log, "a") as f:
+            f.write(line)
+        results.append((epoch, miou))
+
+    link = os.path.join(log_dir, "val_last.log")
+    if os.path.lexists(link):
+        os.remove(link)
+    try:
+        os.symlink(os.path.basename(val_log), link)
+    except OSError:
+        pass
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Training entrypoint — the single CLI replacing the reference's per-
+experiment ``train.py`` scripts + ``torch.distributed.launch`` (SURVEY.md
+§3.1): one process drives the whole device mesh via shard_map; multi-host
+pods initialize jax.distributed and run the same script per host.
+
+Usage:
+  python -m torchseg_tpu.train -e cityscapes.bisenet.R18 \
+      --img-root /data/cityscapes --gt-root /data/cityscapes \
+      --train-source /data/cityscapes/config_new/train.txt
+  python -m torchseg_tpu.train -e cityscapes.bisenet.R18 --synthetic \
+      --epochs 1 --iters 10          # smoke run without data
+  ... -c log/<exp>/snapshot/epoch-last.ckpt   # resume
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.base import SyntheticDataset
+from .data.loader import TrainLoader
+from .engine.checkpoint import restore_checkpoint, save_checkpoint
+from .engine.logger import get_logger
+from .engine.lr_policy import PolyLR
+from .engine.optim import make_lr_mult_tree, make_wd_tree
+from .engine.trainer import Trainer, make_data_mesh
+from .experiments.registry import (
+    DATASETS,
+    build_loss_fn,
+    build_model,
+    build_preprocess,
+    get_experiment,
+)
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    p.add_argument("-e", "--experiment", required=True)
+    p.add_argument("--img-root", default=None)
+    p.add_argument("--gt-root", default=None)
+    p.add_argument("--train-source", default=None)
+    p.add_argument("--eval-source", default=None)
+    p.add_argument("-c", "--continue-from", dest="continue_from", default=None)
+    p.add_argument("--log-dir", default="log")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic data (smoke/bench)")
+    p.add_argument("--epochs", type=int, default=None, help="override nepochs")
+    p.add_argument("--iters", type=int, default=None,
+                   help="override niters_per_epoch")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--crop", type=int, nargs=2, default=None,
+                   metavar=("H", "W"), help="override train crop size")
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--seed", type=int, default=12345)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay f32)")
+    p.add_argument("--pretrained", default=None,
+                   help="torch .pth backbone checkpoint to graft")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = get_experiment(args.experiment)
+    if args.crop:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, image_height=args.crop[0], image_width=args.crop[1]
+        )
+    logger = get_logger(
+        os.path.join(args.log_dir, cfg.name),
+        f"log_{time.strftime('%Y_%m_%d_%H_%M_%S')}.log",
+    )
+
+    nepochs = args.epochs or cfg.nepochs
+    niters = args.iters or cfg.niters_per_epoch
+    batch_size = args.batch_size or cfg.batch_size
+
+    mesh = make_data_mesh()
+    n_dev = mesh.devices.size
+    if batch_size % n_dev:
+        raise ValueError(f"batch {batch_size} not divisible by {n_dev} devices")
+    logger.info("experiment %s on %d device(s): %s", cfg.name, n_dev,
+                jax.devices()[0].platform)
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    model = build_model(cfg, axis_name="data", dtype=dtype)
+    loss_fn = build_loss_fn(cfg, num_shards=n_dev)
+    preprocess = build_preprocess(cfg)
+
+    if args.synthetic:
+        dataset = SyntheticDataset(
+            num_items=batch_size * niters,
+            image_hw=(cfg.image_height, cfg.image_width),
+            num_classes=cfg.num_classes,
+            preprocess=preprocess,
+        )
+    else:
+        ds_cls = DATASETS[cfg.dataset]
+        setting = {
+            "img_root": args.img_root,
+            "gt_root": args.gt_root or args.img_root,
+            "train_source": args.train_source,
+            "eval_source": args.eval_source or args.train_source,
+        }
+        dataset = ds_cls(setting, "train", preprocess,
+                         file_length=batch_size * niters)
+
+    loader = TrainLoader(dataset, batch_size, num_workers=args.num_workers,
+                         seed=args.seed)
+
+    base_lr = cfg.lr
+    if cfg.lr_scale_by_world:
+        base_lr = cfg.lr * jax.process_count() * 1.0  # FCN rule
+    lr_schedule = PolyLR(base_lr, cfg.lr_power, nepochs * niters)
+
+    trainer = Trainer(
+        model,
+        loss_fn,
+        lr_schedule,
+        sgd_momentum=cfg.momentum,
+        mesh=mesh,
+    )
+
+    # one host batch to shape-init
+    loader.set_epoch(0)
+    first_batch = next(iter(loader))
+    batch_jnp = {k: jnp.asarray(v) for k, v in first_batch.items()
+                 if isinstance(v, np.ndarray)}
+    state = trainer.init_state(jax.random.PRNGKey(cfg_seed(args.seed)), batch_jnp)
+
+    # param groups need the realized params
+    trainer.lr_mult = make_lr_mult_tree(state.params, cfg.business_lr_mult)
+    trainer.wd = make_wd_tree(state.params, cfg.weight_decay)
+    trainer._step_fn = trainer._build_step()
+
+    if args.pretrained:
+        from .utils.torch_convert import graft_torch_checkpoint
+
+        state = state.replace(
+            params=graft_torch_checkpoint(args.pretrained, state.params)
+        )
+
+    start_epoch = 0
+    snapshot_dir = os.path.join(args.log_dir, cfg.name, "snapshot")
+    if args.continue_from:
+        state, saved_epoch, _ = restore_checkpoint(args.continue_from, state)
+        start_epoch = saved_epoch + 1
+        logger.info("restored %s, resuming at epoch %d", args.continue_from,
+                    start_epoch)
+
+    rng = jax.random.PRNGKey(args.seed)
+    for epoch in range(start_epoch, nepochs):
+        loader.set_epoch(epoch)
+        t0 = time.time()
+        for it, batch in enumerate(loader):
+            batch_jnp = {k: jnp.asarray(v) for k, v in batch.items()
+                         if isinstance(v, np.ndarray)}
+            rng, step_rng = jax.random.split(rng)
+            state, loss, lr = trainer.train_step(state, batch_jnp, step_rng)
+            if it % 10 == 0:
+                logger.info(
+                    "Epoch %d/%d Iter %d/%d: lr=%.2e loss=%.4f (%.2fs/it)",
+                    epoch, nepochs, it + 1, niters, float(lr), float(loss),
+                    (time.time() - t0) / (it + 1),
+                )
+        if jax.process_index() == 0 and (
+            epoch > nepochs - 20 or epoch % cfg.snapshot_iter == 0
+        ):
+            path = save_checkpoint(snapshot_dir, state, epoch)
+            logger.info("saved %s", path)
+    return state
+
+
+def cfg_seed(seed):
+    return seed
+
+
+if __name__ == "__main__":
+    main()
