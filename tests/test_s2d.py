@@ -1,0 +1,57 @@
+"""Space-to-depth stem conv must be EXACTLY equivalent to the plain stride-2
+conv (same params, same math) — verified against lax.conv and torch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax import lax
+
+from torchseg_tpu.ops.s2d import conv_stride2_s2d, use_s2d
+
+
+@pytest.mark.parametrize("k,cin,cout", [(7, 3, 64), (3, 3, 32), (5, 4, 16)])
+def test_matches_plain_conv(k, cin, cout):
+    rng = np.random.default_rng(k)
+    x = rng.normal(size=(2, 32, 48, cin)).astype(np.float32)
+    w = rng.normal(size=(k, k, cin, cout)).astype(np.float32) * 0.1
+
+    want = lax.conv_general_dilated(
+        jnp.asarray(x),
+        jnp.asarray(w),
+        (2, 2),
+        [(k // 2, k // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+    )
+    got = conv_stride2_s2d(jnp.asarray(x), jnp.asarray(w))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_use_s2d_heuristic():
+    assert use_s2d(3, 2, 7)
+    assert use_s2d(3, 2, 3)
+    assert not use_s2d(64, 2, 3)  # dense channels: plain conv is fine
+    assert not use_s2d(3, 1, 3)  # unstrided
+
+
+def test_resnet_stem_uses_s2d_param_compatible():
+    """The s2d stem stores the kernel at the same path/shape as the plain
+    conv, so torch grafting and odd-size fallbacks share parameters."""
+    from torchseg_tpu.models.resnet import resnet18
+
+    m = resnet18()
+    v_even = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    v_odd = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 63, 65, 3)))
+    assert (
+        v_even["params"]["conv1"]["kernel"].shape
+        == v_odd["params"]["conv1"]["kernel"].shape
+        == (7, 7, 3, 64)
+    )
+    # same variables usable at both sizes
+    out_even = m.apply(v_even, jnp.zeros((1, 64, 64, 3)))
+    out_odd = m.apply(v_even, jnp.zeros((1, 63, 65, 3)))
+    assert out_even[0].shape[-1] == out_odd[0].shape[-1] == 64

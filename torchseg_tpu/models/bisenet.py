@@ -106,9 +106,7 @@ class BiSeNet(nn.Module):
         gc = jnp.mean(context_blocks[0], axis=(1, 2), keepdims=True)
         gc = ConvBnRelu(cc, 1, 1, 0, norm=self.norm, dtype=self.dtype,
                         name="global_context")(gc, train)
-        gc = resize_bilinear_align_corners(
-            gc, context_blocks[0].shape[1:3], dtype=jnp.float32
-        ).astype(gc.dtype)
+        gc = resize_bilinear_align_corners(gc, context_blocks[0].shape[1:3])
 
         last_fm = gc
         pred_out = []
@@ -117,8 +115,8 @@ class BiSeNet(nn.Module):
                                      name=f"arm{i}")(context_blocks[i], train)
             fm = fm + last_fm
             last_fm = resize_bilinear_align_corners(
-                fm, context_blocks[i + 1].shape[1:3], dtype=jnp.float32
-            ).astype(fm.dtype)
+                fm, context_blocks[i + 1].shape[1:3]
+            )
             last_fm = ConvBnRelu(cc, 3, 1, 1, norm=self.norm, dtype=self.dtype,
                                  name=f"refine{i}")(last_fm, train)
             pred_out.append(last_fm)

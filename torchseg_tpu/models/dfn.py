@@ -73,9 +73,7 @@ class DFN(nn.Module):
         gc = jnp.mean(top_down[0], axis=(1, 2), keepdims=True)
         gc = ConvBnRelu(self.smooth_inner, 1, 1, 0, norm=self.norm,
                         dtype=self.dtype, name="global_context")(gc, train)
-        gc = resize_bilinear_align_corners(
-            gc, top_down[0].shape[1:3], dtype=jnp.float32
-        ).astype(gc.dtype)
+        gc = resize_bilinear_align_corners(gc, top_down[0].shape[1:3])
 
         # ---- smooth branch (top-down) ----
         last_fm = gc
@@ -94,9 +92,7 @@ class DFN(nn.Module):
                         dtype=self.dtype, name=f"smooth_head{i}")(fm, train)
             )
             if i != 3:
-                last_fm = upsample_by_scale(fm, 2, dtype=jnp.float32).astype(
-                    fm.dtype
-                )
+                last_fm = upsample_by_scale(fm, 2)
 
         if not train:
             return jax.nn.log_softmax(
@@ -111,9 +107,7 @@ class DFN(nn.Module):
                                 norm=self.norm, dtype=self.dtype,
                                 name=f"border_pre_rrb{i}")(fm, train)
             if last_fm is not None:
-                fm = upsample_by_scale(fm, 2**i, dtype=jnp.float32).astype(
-                    fm.dtype
-                )
+                fm = upsample_by_scale(fm, 2**i)
                 last_fm = last_fm + fm
                 last_fm = RefineResidual(
                     self.border_inner, 3, has_relu=True, norm=self.norm,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.blocks import NormFactory, default_norm
+from ..ops.s2d import S2DConv, use_s2d
 from ..utils.init import torch_default_kernel_init
 
 
@@ -38,6 +39,24 @@ def _conv(
         dtype=dtype,
         name=name,
     )
+
+
+def _stem_conv(x, out_ch, ksize, stride, name, dtype):
+    """Stem conv: dispatch the tiny-C stride-2 case to the exact
+    space-to-depth formulation (ops/s2d.py) — same 'kernel' param path."""
+    if (
+        use_s2d(x.shape[-1], stride, ksize)
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+    ):
+        return S2DConv(
+            out_ch,
+            ksize,
+            kernel_init=torch_default_kernel_init,
+            dtype=dtype,
+            name=name,
+        )(x)
+    return _conv(out_ch, ksize, stride, 1, name, dtype)(x)
 
 
 class BasicBlock(nn.Module):
@@ -134,7 +153,7 @@ class ResNet(nn.Module):
         norm = lambda name: self.norm(dtype=self.dtype, name=name)
         if self.deep_stem:
             # v1c stem: three 3x3 convs (reference resnet.py:110-126)
-            x = _conv(self.stem_width, 3, 2, 1, "stem_conv1", self.dtype)(x)
+            x = _stem_conv(x, self.stem_width, 3, 2, "stem_conv1", self.dtype)
             x = norm("stem_bn1")(x, use_running_average=not train)
             x = nn.relu(x)
             x = _conv(self.stem_width, 3, 1, 1, "stem_conv2", self.dtype)(x)
@@ -142,7 +161,7 @@ class ResNet(nn.Module):
             x = nn.relu(x)
             x = _conv(self.stem_width * 2, 3, 1, 1, "stem_conv3", self.dtype)(x)
         else:
-            x = _conv(64, 7, 2, 1, "conv1", self.dtype)(x)
+            x = _stem_conv(x, 64, 7, 2, "conv1", self.dtype)
         x = norm("bn1")(x, use_running_average=not train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

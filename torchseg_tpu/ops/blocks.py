@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .norm import BatchNorm
+from .s2d import S2DConv, use_s2d
 from ..utils.init import (
     kaiming_normal_init,
     torch_default_bias_init,
@@ -50,19 +51,37 @@ class ConvBnRelu(nn.Module):
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
         bias_init = torch_default_bias_init(in_ch // self.groups * self.ksize**2)
-        x = nn.Conv(
-            self.out_planes,
-            (self.ksize, self.ksize),
-            strides=(self.stride, self.stride),
-            padding=[(self.pad, self.pad)] * 2,
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=self.has_bias,
-            kernel_init=self.kernel_init,
-            bias_init=bias_init,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if (
+            use_s2d(in_ch, self.stride, self.ksize)
+            and self.pad == self.ksize // 2
+            and self.dilation == 1
+            and self.groups == 1
+            and not self.has_bias
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            # tiny-C strided stem: exact space-to-depth reformulation
+            x = S2DConv(
+                self.out_planes,
+                self.ksize,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.out_planes,
+                (self.ksize, self.ksize),
+                strides=(self.stride, self.stride),
+                padding=[(self.pad, self.pad)] * 2,
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=self.has_bias,
+                kernel_init=self.kernel_init,
+                bias_init=bias_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.has_bn:
             x = self.norm(dtype=self.dtype, name="bn")(
                 x, use_running_average=not train

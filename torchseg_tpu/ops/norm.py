@@ -89,9 +89,14 @@ class BatchNorm(nn.Module):
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
                 ra_var.value = (1.0 - m) * ra_var.value + m * (var * unbias)
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
-        if scale is not None:
-            y = y * scale
+        # Fold mean/var/gamma/beta into one per-channel affine computed in
+        # f32 (C-sized vectors, negligible), applied in the compute dtype —
+        # keeps bf16 activations bf16 so XLA fuses the affine+ReLU into the
+        # conv epilogue instead of round-tripping through f32.
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        a = inv if scale is None else inv * scale
+        b = -mean * a
         if bias is not None:
-            y = y + bias
-        return y.astype(self.dtype or x.dtype)
+            b = b + bias
+        out_dtype = self.dtype or x.dtype
+        return x.astype(out_dtype) * a.astype(out_dtype) + b.astype(out_dtype)

@@ -1,0 +1,84 @@
+"""Space-to-depth stem convolution — the TPU-native formulation of the
+stride-2 small-channel input convs (ResNet 7x7/2 and v1c 3x3/2 stems,
+BiSeNet SpatialPath 7x7/2).
+
+A k x k stride-2 conv on (H, W, C) with C tiny (3) wastes the 128-wide MXU
+lanes and the strided access defeats tiling — measured ~2.7 TFLOP/s on v5e.
+Rearranging the input 2x2 -> depth gives (H/2, W/2, 4C) and an EXACTLY
+equivalent ceil(k/2+...)-sized stride-1 conv with the kernel zero-padded and
+space-to-depth'd the same way:
+
+  out(i,j) = sum_u,v x(2i+u-P, 2j+v-P) w(u,v)          (P = k//2)
+           = sum_p,q,a,b X(i+p-pl, j+q-pl')[a,b] W(p,q)[a,b]
+
+with W[p,q,(a,b,c)] = w_pad[2p+a, 2q+b, c], w_pad = w zero-padded by 1 at the
+top/left to (2k', 2k'), k' = (k+1)//2, and asymmetric padding
+(pl, pr) = (k'//2, k'-1-k'//2).  Same parameters, same math (up to fp
+reassociation) — only the schedule changes.  Requires even H, W.
+"""
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..utils.init import kaiming_normal_init
+
+
+def conv_stride2_s2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Equivalent of lax.conv(x, kernel, stride=2, pad=k//2) for odd k and
+    even spatial dims, via space-to-depth."""
+    k = kernel.shape[0]
+    assert k % 2 == 1, "odd kernels only"
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    kp = (k + 1) // 2
+    # kernel: zero-pad to (2kp, 2kp) with top/left offset d = (k//2) % 2 so
+    # that pl = (k//2 + d) / 2 is integral, then s2d to (kp, kp, 4c)
+    d = (k // 2) % 2
+    wpad = jnp.pad(
+        kernel, ((d, 2 * kp - k - d), (d, 2 * kp - k - d), (0, 0), (0, 0))
+    )
+    cout = kernel.shape[-1]
+    wk = wpad.reshape(kp, 2, kp, 2, c, cout)
+    wk = wk.transpose(0, 2, 1, 3, 4, 5).reshape(kp, kp, 4 * c, cout)
+    # input s2d: (b, h/2, w/2, (a, b, c))
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    pl = (k // 2 + d) // 2
+    pr = kp - 1 - pl
+    return jax.lax.conv_general_dilated(
+        xs,
+        wk,
+        (1, 1),
+        [(pl, pr), (pl, pr)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class S2DConv(nn.Module):
+    """Drop-in for nn.Conv(stride=2, pad=k//2, no bias) on tiny-C inputs;
+    stores the kernel under the same ('kernel') name/shape so checkpoints are
+    layout-compatible with the plain conv."""
+
+    features: int
+    ksize: int
+    kernel_init: Callable = kaiming_normal_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (self.ksize, self.ksize, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        return conv_stride2_s2d(x.astype(dtype), kernel.astype(dtype))
+
+
+def use_s2d(in_ch: int, stride: int, ksize: int) -> bool:
+    """Heuristic: worthwhile only for the tiny-channel strided stems."""
+    return stride == 2 and ksize % 2 == 1 and in_ch <= 8
