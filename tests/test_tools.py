@@ -1,0 +1,33 @@
+"""Tools tests: stats table + XLA FLOPs totals, and the speed harness on a
+tiny model (CPU)."""
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from torchseg_tpu.tools.stats import model_stats
+from torchseg_tpu.tools.speed import compute_speed
+from torchseg_tpu.ops.blocks import ConvBnRelu
+
+
+class Tiny(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBnRelu(8, 3, 1, 1, name="c1")(x, train)
+        return nn.Conv(4, (1, 1), name="out")(x)
+
+
+def test_model_stats():
+    table, totals = model_stats(Tiny(), (1, 16, 16, 3))
+    assert "c1" in table
+    # conv 3x3x3x8 + bn(2*8) + conv 1x1x8x4 + bias 4
+    assert totals["params"] == 216 + 16 + 32 + 4
+    assert totals["flops"] > 0
+
+
+def test_compute_speed_runs():
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                           train=True)
+    res = compute_speed(model, variables, (1, 16, 16, 3), chain=4, reps=1)
+    assert res["fps"] > 0

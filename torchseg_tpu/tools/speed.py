@@ -1,0 +1,96 @@
+"""FPS benchmark for any registered experiment — replaces the reference's
+``compute_speed`` (furnace/tools/benchmark/compute_speed.py:17-48; CLI hook
+model/bisenet/*.speed/eval.py:90-106).
+
+Uses the chained-fori_loop methodology (see /bench.py): N forwards inside one
+compiled loop with an inter-iteration data dependency, so dispatch overhead
+amortizes and nothing can be elided or cached.
+
+Usage: python -m torchseg_tpu.tools.speed -e cityscapes.bisenet.R18.speed \
+           --input-size 1x1024x2048x3
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def compute_speed(model, variables, input_shape, chain=50, reps=4,
+                  dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(variables, x, seed):
+        def body(i, carry):
+            x, acc = carry
+            scores = model.apply(variables, x, train=False)
+            pred = jnp.argmax(scores, axis=-1)
+            acc = acc + pred[0, 0, 0]
+            x = x + (acc % 2).astype(x.dtype) * 1e-8
+            return (x, acc)
+
+        return jax.lax.fori_loop(0, chain, body, (x + seed, jnp.int32(0)))[1]
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=input_shape).astype(np.float32)
+    )
+    if dtype is not None:
+        x = x.astype(dtype)
+    int(chained(variables, x, 0.0))
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        int(chained(variables, x, 1e-4 * (r + 1)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / chain
+    return {"ms_per_iter": dt * 1000, "fps": 1.0 / dt}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-e", "--experiment", required=True)
+    p.add_argument("--input-size", default="1x1024x2048x3")
+    p.add_argument("--chain", type=int, default=50)
+    p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--f32", action="store_true")
+    p.add_argument("--summary", action="store_true",
+                   help="print per-module stats table too")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..experiments.registry import build_model, get_experiment
+
+    cfg = get_experiment(args.experiment)
+    dtype = None if args.f32 else jnp.bfloat16
+    model = build_model(cfg, axis_name=None, dtype=dtype)
+    shape = tuple(int(s) for s in args.input_size.split("x"))
+
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
+    if dtype is not None:
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32
+            else a,
+            variables,
+        )
+
+    if args.summary:
+        from .stats import print_stats
+
+        print_stats(build_model(cfg, axis_name=None), shape)
+
+    res = compute_speed(model, variables, shape, args.chain, args.reps, dtype)
+    print(
+        f"{args.experiment} @ {args.input_size}: "
+        f"{res['ms_per_iter']:.3f} ms/iter, {res['fps']:.1f} FPS"
+    )
+    return res
+
+
+if __name__ == "__main__":
+    main()
