@@ -72,10 +72,18 @@ def build_argparser():
                    help="dump prediction PNGs here")
     p.add_argument("--synthetic", type=int, default=0,
                    help="evaluate N synthetic images (smoke)")
+    p.add_argument("--msf", action="store_true",
+                   help="multi-scale + flip TTA protocol")
+    p.add_argument("-speed", "--speed", action="store_true",
+                   help="run the FPS benchmark instead of accuracy eval")
+    p.add_argument("--summary", action="store_true",
+                   help="print per-module parameter/FLOPs table")
+    p.add_argument("--input-size", default="1x1024x2048x3",
+                   help="input shape for --speed/--summary")
     return p
 
 
-def evaluate_checkpoint(cfg, variables, dataset, save_path=None):
+def evaluate_checkpoint(cfg, variables, dataset, save_path=None, msf=False):
     model = build_model(cfg, axis_name=None)
 
     def apply_fn(v, x):
@@ -87,8 +95,8 @@ def evaluate_checkpoint(cfg, variables, dataset, save_path=None):
         cfg.num_classes,
         cfg.image_mean,
         cfg.image_std,
-        multi_scales=cfg.eval_scale_array,
-        is_flip=cfg.eval_flip,
+        multi_scales=cfg.eval_ms_scale_array if msf else cfg.eval_scale_array,
+        is_flip=True if msf else cfg.eval_flip,
         crop_size=cfg.eval_crop_size,
         stride_rate=cfg.eval_stride_rate,
     )
@@ -108,6 +116,15 @@ def main(argv=None):
     cfg = get_experiment(args.experiment)
     log_dir = os.path.join(args.log_dir, cfg.name)
     logger = get_logger(log_dir, None)
+
+    if args.speed or args.summary:
+        # reference -speed/--summary hooks (model/bisenet/*.speed/eval.py)
+        from .tools import speed as speed_tool
+
+        speed_args = ["-e", args.experiment, "--input-size", args.input_size]
+        if args.summary:
+            speed_args.append("--summary")
+        return speed_tool.main(speed_args)
 
     if args.synthetic:
         dataset = SyntheticDataset(
@@ -146,7 +163,9 @@ def main(argv=None):
     for path in parse_epochs(str(args.epochs), snapshot_dir):
         state, epoch, _ = restore_checkpoint(path, template)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        acc = evaluate_checkpoint(cfg, variables, dataset, args.save_path)
+        acc = evaluate_checkpoint(
+            cfg, variables, dataset, args.save_path, msf=args.msf
+        )
         iou, miou, miou_nb, pixacc = acc.scores()
         names = DATASETS[cfg.dataset].get_class_names() if not args.synthetic \
             else None

@@ -65,6 +65,8 @@ class ExperimentConfig:
     dfn_alpha: float = 0.1
     # eval protocol
     eval_scale_array: Sequence[float] = (1.0,)
+    # the msf protocol scales (config.py comments next to eval_scale_array)
+    eval_ms_scale_array: Sequence[float] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)
     eval_flip: bool = False
     eval_base_size: int = 512
     eval_crop_size: int = 512
@@ -97,6 +99,7 @@ _ADE = dict(
     nepochs=120, niters_per_epoch=1262,  # ceil(20210 // 16)
     loss="ce", aux_loss_ratio=0.4,
     eval_scale_array=(1.0,), eval_flip=False,
+    eval_ms_scale_array=(0.5, 0.75, 1.0, 1.5, 1.75),
     eval_base_size=480, eval_crop_size=480, eval_stride_rate=2 / 3,
     eval_label_offset=-1,
 )
