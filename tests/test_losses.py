@@ -143,3 +143,32 @@ def test_focal_matches_oracle():
     got = float(sigmoid_focal_loss_border(pred, target, 255))
     want = _focal_torch_oracle(pred, target, 255, 2.0, 0.25)
     assert got == pytest.approx(want, rel=1e-4, abs=1e-5)
+
+
+def test_ohem_histogram_threshold_close_to_exact():
+    import jax.numpy as jnp
+    from torchseg_tpu.ops.losses import _kth_smallest_histogram
+
+    rng = np.random.default_rng(9)
+    vals = rng.random(100000).astype(np.float32)
+    for k in (1, 100, 50000, 99999):
+        approx = float(_kth_smallest_histogram(jnp.asarray(vals), k))
+        exact = float(np.sort(vals)[k - 1])
+        assert exact <= approx <= exact + 1e-5, (k, exact, approx)
+        # at least k values fall under the approx threshold
+        assert (vals <= approx).sum() >= k
+
+
+def test_ohem_approx_matches_exact_loss():
+    rng = np.random.default_rng(10)
+    scores, labels = _rand_scores_labels(rng, b=2, h=16, w=16, c=7)
+    exact = float(
+        prob_ohem_cross_entropy(scores, labels, 255, thresh=0.7, min_kept=64)
+    )
+    approx = float(
+        prob_ohem_cross_entropy(
+            scores, labels, 255, thresh=0.7, min_kept=64,
+            approx_threshold=True,
+        )
+    )
+    assert approx == pytest.approx(exact, rel=2e-2)

@@ -62,6 +62,29 @@ def cross_entropy_with_ignore(
     return jnp.sum(nll * w) / jnp.maximum(denom, 1e-12)
 
 
+def _kth_smallest_histogram(values: jnp.ndarray, k: int, bins: int = 2048):
+    """Approximate k-th smallest of values in [0, 1] via a two-level
+    histogram (each level one bincount pass).  Returns an upper bound within
+    1/bins^2 of the true k-th value — OHEM selection then keeps at least k
+    pixels.  O(2n) instead of O(n log n) sort; the win matters at the
+    training resolution (16M pixels/step on Cityscapes)."""
+    v = jnp.clip(values, 0.0, 1.0)
+    idx1 = jnp.minimum((v * bins).astype(jnp.int32), bins - 1)
+    hist1 = jnp.bincount(idx1, length=bins)
+    cum1 = jnp.cumsum(hist1)
+    b1 = jnp.searchsorted(cum1, k, side="left")  # first bin with cum >= k
+    lo = b1.astype(jnp.float32) / bins
+    width = 1.0 / bins
+    k2 = k - jnp.where(b1 > 0, cum1[jnp.maximum(b1 - 1, 0)], 0)
+    in_bin = (idx1 == b1)
+    frac = jnp.clip((v - lo) / width, 0.0, 1.0 - 1e-7)
+    idx2 = jnp.where(in_bin, (frac * bins).astype(jnp.int32), bins)
+    hist2 = jnp.bincount(idx2, length=bins + 1)[:bins]
+    cum2 = jnp.cumsum(hist2)
+    b2 = jnp.searchsorted(cum2, k2, side="left")
+    return lo + (b2.astype(jnp.float32) + 1.0) * (width / bins)
+
+
 def prob_ohem_cross_entropy(
     scores: jnp.ndarray,
     labels: jnp.ndarray,
@@ -69,6 +92,7 @@ def prob_ohem_cross_entropy(
     thresh: float = 0.7,
     min_kept: int = 256,
     class_weights: Optional[jnp.ndarray] = None,
+    approx_threshold: bool = False,
 ):
     """Online hard example mining CE (reference loss_opr.py:48-97).
 
@@ -102,8 +126,12 @@ def prob_ohem_cross_entropy(
 
     if min_kept > 0:
         k = min(n, int(min_kept))
-        # k-th smallest — one ascending sort, fully static shape.
-        kth = jnp.sort(gt_prob)[k - 1]
+        if approx_threshold:
+            # two-pass histogram quantile (upper bound on the k-th value)
+            kth = _kth_smallest_histogram(gt_prob, k)
+        else:
+            # k-th smallest — one ascending sort, fully static shape.
+            kth = jnp.sort(gt_prob)[k - 1]
         threshold = jnp.maximum(kth, thresh)
         kept = valid & (gt_prob <= threshold)
         # min_kept > num_valid => no OHEM filtering (keep every valid pixel)
