@@ -104,3 +104,20 @@ def test_fused_scale_bias_act():
     got = np.asarray(fused_scale_bias_act(jnp.asarray(x), a, b, act="relu"))
     want = np.maximum(x * a + b, 0)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_upsample_argmax():
+    from torchseg_tpu.ops.pallas.upsample_argmax import fused_upsample_argmax
+    from torchseg_tpu.ops.resize import resize_bilinear_align_corners
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 16, 24, 19)).astype(np.float32)
+    got = np.asarray(fused_upsample_argmax(jnp.asarray(x), (128, 192), tile=64))
+    want = np.asarray(
+        jnp.argmax(
+            resize_bilinear_align_corners(jnp.asarray(x), (128, 192)), axis=-1
+        )
+    )
+    assert got.shape == (2, 128, 192)
+    # bilinear ties are measure-zero with random input; require exact match
+    assert (got == want).mean() > 0.999
