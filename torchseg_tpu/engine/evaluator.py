@@ -33,10 +33,6 @@ from ..ops.metrics import ConfusionAccumulator
 from .logger import get_logger
 
 
-def _next_bucket(n: int) -> int:
-    return 1 << max(0, (n - 1).bit_length())
-
-
 class Evaluator:
     """Args:
       apply_fn: (variables, images_nhwc) -> scores (B,H,W,C); must be the
@@ -100,21 +96,48 @@ class Evaluator:
             self._jit_cache[shape] = fn
         return np.asarray(fn(self.variables, jnp.asarray(batch_nhwc)))
 
-    def _forward_crops(self, crops: np.ndarray) -> np.ndarray:
-        """Forward N crops, padding N to a bucket to bound recompiles."""
-        n = crops.shape[0]
-        outs = []
-        i = 0
-        while i < n:
-            take = min(self.max_batch, n - i)
-            bucket = min(_next_bucket(take), self.max_batch)
-            chunk = crops[i : i + take]
-            if take < bucket:
-                pad = np.zeros((bucket - take, *crops.shape[1:]), crops.dtype)
-                chunk = np.concatenate([chunk, pad])
-            outs.append(self._forward(chunk)[:take])
-            i += take
-        return np.concatenate(outs)
+    def _grid_fn(self, pad_shape, n_crops, crop_size):
+        """Jitted device pipeline for one sliding-scale: extract the crop
+        grid from the padded normalized image with dynamic_slice, run the
+        batched (flip-TTA) forward, and scatter-add the exp-scores back onto
+        the canvas — only the canvas crosses back to the host (the reference
+        moves every crop both ways, evaluator.py:236-245)."""
+        key = ("grid", pad_shape, n_crops, crop_size)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        flip = self.is_flip
+        cs = crop_size
+        nc = self.num_classes
+
+        @jax.jit
+        def run(variables, norm_img, coords):
+            def extract(k, _):
+                y, x = coords[k, 0], coords[k, 1]
+                return jax.lax.dynamic_slice(norm_img, (y, x, 0), (cs, cs, 3))
+
+            crops = jax.vmap(lambda k: extract(k, None))(
+                jnp.arange(n_crops)
+            )
+            score = self.apply_fn(variables, crops).astype(jnp.float32)
+            if flip:
+                sf = self.apply_fn(variables, crops[:, :, ::-1, :])
+                score = score + sf[:, :, ::-1, :].astype(jnp.float32)
+            score = jnp.exp(score)
+
+            canvas = jnp.zeros((*pad_shape, nc), jnp.float32)
+
+            def body(k, canvas):
+                y, x = coords[k, 0], coords[k, 1]
+                cur = jax.lax.dynamic_slice(canvas, (y, x, 0), (cs, cs, nc))
+                return jax.lax.dynamic_update_slice(
+                    canvas, cur + score[k], (y, x, 0)
+                )
+
+            return jax.lax.fori_loop(0, n_crops, body, canvas)
+
+        self._jit_cache[key] = run
+        return run
 
     # ------------------------------------------------------------------
     # reference algorithms
@@ -177,21 +200,21 @@ class Evaluator:
             c_grid = int(math.ceil((pad_cols - crop_size) / stride)) + 1
 
             norm_img = self.process_image(img_pad)
-            coords, crops = [], []
+            coords = []
             for gy in range(r_grid):
                 for gx in range(c_grid):
                     e_x = min(gx * stride + crop_size, pad_cols)
                     e_y = min(gy * stride + crop_size, pad_rows)
-                    s_x, s_y = e_x - crop_size, e_y - crop_size
-                    coords.append((s_y, s_x))
-                    crops.append(norm_img[s_y:e_y, s_x:e_x])
-            scores = self._forward_crops(np.stack(crops))
+                    coords.append((e_y - crop_size, e_x - crop_size))
 
-            data_scale = np.zeros(
-                (pad_rows, pad_cols, self.num_classes), np.float32
+            run = self._grid_fn((pad_rows, pad_cols), len(coords), crop_size)
+            data_scale = np.asarray(
+                run(
+                    self.variables,
+                    jnp.asarray(norm_img, jnp.float32),
+                    jnp.asarray(coords, jnp.int32),
+                )
             )
-            for (s_y, s_x), sc in zip(coords, scores):
-                data_scale[s_y : s_y + crop_size, s_x : s_x + crop_size] += sc
             score = data_scale[
                 margin[0] : data_scale.shape[0] - margin[1],
                 margin[2] : data_scale.shape[1] - margin[3],
