@@ -23,6 +23,21 @@ def show_prediction(colors, background, img, pred, weight=0.5):
     return (im * (1 - weight) + canvas * weight).astype(np.uint8)
 
 
+def show_img(colors, background, img, gt, *preds, weight=0.5):
+    """Side-by-side composite [image | colored gt | colored preds...] with
+    white separators (reference visualize.py show_img usage in eval -s)."""
+    im = np.array(img, np.uint8)
+    h = im.shape[0]
+    sep = np.full((h, 3, 3), 255, np.uint8)
+    panels = [im]
+    gt_panel = np.zeros_like(im)
+    set_img_color(colors, background, gt_panel, gt, show255=False)
+    panels += [sep, gt_panel]
+    for p in preds:
+        panels += [sep, show_prediction(colors, background, im, p, weight)]
+    return np.concatenate(panels, axis=1)
+
+
 def print_iou(
     iu: np.ndarray,
     mean_pixel_acc: float,
