@@ -99,3 +99,26 @@ def test_dfn():
         assert b.shape == (1, 64, 64, 1)
     pred = _run(m, x, train=False)
     assert pred.shape == (1, 64, 64, 19)
+
+
+def test_remat_backbone_gradients():
+    """jax.checkpoint'ed blocks must give the same loss/grads."""
+    import numpy as np
+    from torchseg_tpu.models.resnet import resnet18
+
+    x = jax.random.normal(KEY, (1, 32, 32, 3))
+    plain = resnet18()
+    remat = resnet18(remat=True)
+    v = plain.init(KEY, x)
+
+    def loss(model, v):
+        return sum(f.sum() for f in model.apply(v, x))
+
+    l1 = float(loss(plain, v))
+    l2 = float(loss(remat, v))
+    assert l1 == pytest.approx(l2, rel=1e-6)
+    g1 = jax.grad(lambda v: loss(plain, v))(v)
+    g2 = jax.grad(lambda v: loss(remat, v))(v)
+    a = jax.tree.leaves(g1)[0]
+    b = jax.tree.leaves(g2)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)

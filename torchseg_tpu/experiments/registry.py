@@ -76,6 +76,9 @@ class ExperimentConfig:
     eval_resize_to: Optional[Tuple[int, int]] = None  # speed: (768, 1536)
     eval_label_offset: int = 0       # ADE: -1
     model_kwargs: dict = dataclasses.field(default_factory=dict)
+    # memory/perf knobs
+    remat: bool = False          # jax.checkpoint backbone blocks
+    ohem_approx: bool = False    # histogram OHEM threshold (vs exact sort)
     # bookkeeping
     snapshot_iter: int = 50
     pretrained: Optional[str] = None
@@ -204,7 +207,7 @@ def build_model(cfg: ExperimentConfig, axis_name: Optional[str] = "data",
     )
     factory = models.MODEL_REGISTRY[cfg.model]
     return factory(num_classes=cfg.num_classes, norm=norm, dtype=dtype,
-                   **cfg.model_kwargs)
+                   remat=cfg.remat, **cfg.model_kwargs)
 
 
 def build_preprocess(cfg: ExperimentConfig):
@@ -246,12 +249,15 @@ def build_loss_fn(cfg: ExperimentConfig, num_shards: int = 1):
         min_kept = int(local_b * h * w // cfg.ohem_min_kept_divisor)
         thresh = cfg.ohem_thresh
 
+        approx = cfg.ohem_approx
+
         def loss_fn(outs, batch):
             label = batch["label"]
             total = 0.0
             for key in ("aux0", "aux1", "main"):
                 total = total + prob_ohem_cross_entropy(
-                    outs[key], label, ignore, thresh=thresh, min_kept=min_kept
+                    outs[key], label, ignore, thresh=thresh,
+                    min_kept=min_kept, approx_threshold=approx,
                 )
             return total
 

@@ -25,40 +25,43 @@ from ..ops.blocks import default_norm
 _DILATED = dict(layer_strides=(1, 2, 1, 1), layer_dilations=(1, 1, 2, 4))
 
 
-def fcn32s_r101(num_classes=21, norm=default_norm, dtype=None):
-    bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype)
+def fcn32s_r101(num_classes=21, norm=default_norm, dtype=None, remat=False):
+    bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
+                   remat=remat)
     return FCN(num_classes, bb, norm=norm, dtype=dtype)
 
 
-def pspnet_r50(num_classes=150, norm=default_norm, dtype=None):
+def pspnet_r50(num_classes=150, norm=default_norm, dtype=None, remat=False):
     bb = resnet50(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
-                  **_DILATED)
+                  remat=remat, **_DILATED)
     return PSPNet(num_classes, bb, norm=norm, dtype=dtype)
 
 
-def pspnet_r101(num_classes=150, norm=default_norm, dtype=None):
+def pspnet_r101(num_classes=150, norm=default_norm, dtype=None, remat=False):
     bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
-                   **_DILATED)
+                   remat=remat, **_DILATED)
     return PSPNet(num_classes, bb, norm=norm, dtype=dtype)
 
 
-def psanet_r50(num_classes=150, norm=default_norm, dtype=None, att_channels=3600):
+def psanet_r50(num_classes=150, norm=default_norm, dtype=None,
+               att_channels=3600, remat=False):
     bb = resnet50(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
-                  **_DILATED)
+                  remat=remat, **_DILATED)
     return PSANet(num_classes, bb, att_channels=att_channels, norm=norm,
                   dtype=dtype)
 
 
 def psanet_r101(num_classes=150, norm=default_norm, dtype=None,
-                att_channels=3600):
+                att_channels=3600, remat=False):
     bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
-                   **_DILATED)
+                   remat=remat, **_DILATED)
     return PSANet(num_classes, bb, att_channels=att_channels, norm=norm,
                   dtype=dtype)
 
 
-def bisenet_r18(num_classes=19, norm=default_norm, dtype=None, speed=False):
-    bb = resnet18(norm=norm, deep_stem=False, dtype=dtype)
+def bisenet_r18(num_classes=19, norm=default_norm, dtype=None, speed=False,
+                remat=False):
+    bb = resnet18(norm=norm, deep_stem=False, dtype=dtype, remat=remat)
     return BiSeNet(
         num_classes, bb,
         conv_channel=128,
@@ -69,8 +72,9 @@ def bisenet_r18(num_classes=19, norm=default_norm, dtype=None, speed=False):
     )
 
 
-def bisenet_r101(num_classes=19, norm=default_norm, dtype=None):
-    bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype)
+def bisenet_r101(num_classes=19, norm=default_norm, dtype=None, remat=False):
+    bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
+                   remat=remat)
     return BiSeNet(
         num_classes, bb,
         conv_channel=128, aux_mid=256, main_mid=256,
@@ -78,7 +82,9 @@ def bisenet_r101(num_classes=19, norm=default_norm, dtype=None):
     )
 
 
-def bisenet_x39(num_classes=19, norm=default_norm, dtype=None, speed=False):
+def bisenet_x39(num_classes=19, norm=default_norm, dtype=None, speed=False,
+                remat=False):
+    del remat  # xception39 is small; no checkpointing needed
     bb = xception39(norm=norm, dtype=dtype)
     return BiSeNet(
         num_classes, bb,
@@ -88,8 +94,9 @@ def bisenet_x39(num_classes=19, norm=default_norm, dtype=None, speed=False):
     )
 
 
-def dfn_r101(num_classes=19, norm=default_norm, dtype=None):
-    bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype)
+def dfn_r101(num_classes=19, norm=default_norm, dtype=None, remat=False):
+    bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
+                   remat=remat)
     return DFN(num_classes, bb, norm=norm, dtype=dtype)
 
 

@@ -147,6 +147,7 @@ class ResNet(nn.Module):
     layer_dilations: Sequence[int] = (1, 1, 1, 1)
     norm: NormFactory = default_norm
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False  # jax.checkpoint each block (activation recompute)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -168,6 +169,14 @@ class ResNet(nn.Module):
 
         inplanes = self.stem_width * 2 if self.deep_stem else 64
         planes = (64, 128, 256, 512)
+        # trade FLOPs for HBM: recompute block activations in the backward
+        # pass (jax.checkpoint; replaces torch.utils.checkpoint imports in the
+        # reference networks)
+        block_cls = (
+            nn.remat(self.block_cls, static_argnums=(2,))
+            if self.remat
+            else self.block_cls
+        )
         feats = []
         for li in range(4):
             stride = self.layer_strides[li]
@@ -182,7 +191,7 @@ class ResNet(nn.Module):
                     stride != 1
                     or inplanes != planes[li] * self.block_cls.expansion
                 )
-                x = self.block_cls(
+                x = block_cls(
                     planes[li],
                     stride=stride if is_first else 1,
                     dilation=dilation,
@@ -206,6 +215,7 @@ def _make(block_cls, layers):
         layer_strides: Sequence[int] = (1, 2, 2, 2),
         layer_dilations: Sequence[int] = (1, 1, 1, 1),
         dtype=None,
+        remat: bool = False,
     ) -> ResNet:
         return ResNet(
             block_cls=block_cls,
@@ -216,6 +226,7 @@ def _make(block_cls, layers):
             layer_dilations=tuple(layer_dilations),
             norm=norm,
             dtype=dtype,
+            remat=remat,
         )
 
     return ctor
