@@ -139,3 +139,30 @@ def test_cityscapes_transform_label():
     label, name = Cityscapes.transform_label(pred, "frankfurt_000000_000294_x.png")
     np.testing.assert_array_equal(label, [[7, 8], [33, 17]])
     assert name == "frankfurt_000000_000294.png"
+
+
+def test_labelid_trainid_roundtrip():
+    lid = np.array([[7, 8, 0], [33, 26, 99]], np.uint8)
+    tid = Cityscapes.labelid_to_trainid(lid)
+    np.testing.assert_array_equal(tid, [[0, 1, 255], [18, 13, 255]])
+
+
+def test_make_manifest_cityscapes(tmp_path):
+    from torchseg_tpu.tools.make_manifest import main as mk
+
+    root = tmp_path / "cs"
+    img = root / "leftImg8bit" / "val" / "frankfurt"
+    gt = root / "gtFine" / "val" / "frankfurt"
+    img.mkdir(parents=True)
+    gt.mkdir(parents=True)
+    stem = "frankfurt_000000_000294"
+    cv2.imwrite(str(img / f"{stem}_leftImg8bit.png"),
+                np.zeros((4, 4, 3), np.uint8))
+    cv2.imwrite(str(gt / f"{stem}_gtFine_labelTrainIds.png"),
+                np.zeros((4, 4), np.uint8))
+    out = tmp_path / "val.txt"
+    mk(["cityscapes", str(root), "--split", "val", "--out", str(out)])
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 1
+    a, b = lines[0].split("\t")
+    assert a.endswith("_leftImg8bit.png") and "labelTrainIds" in b

@@ -14,6 +14,16 @@ class Cityscapes(ManifestDataset):
                     28, 31, 32, 33]
 
     @classmethod
+    def labelid_to_trainid(cls, label: np.ndarray) -> np.ndarray:
+        """Official gtFine labelIds -> 19 train ids (everything else 255);
+        the inverse of ``transform_label`` — for preparing training pngs from
+        raw Cityscapes annotations."""
+        lut = np.full(256, cls.ignore_label, np.uint8)
+        for tid, lid in enumerate(cls.trans_labels):
+            lut[lid] = tid
+        return lut[label.astype(np.uint8)]
+
+    @classmethod
     def get_class_colors(cls):
         return [[128, 64, 128], [244, 35, 232], [70, 70, 70],
                 [102, 102, 156], [190, 153, 153], [153, 153, 153],

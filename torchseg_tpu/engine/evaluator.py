@@ -84,12 +84,14 @@ class Evaluator:
 
             @jax.jit
             def run(variables, x):
-                score = self.apply_fn(variables, x).astype(jnp.float32)
                 if flip:
-                    score_flip = self.apply_fn(variables, x[:, :, ::-1, :])
-                    score = score + score_flip[:, :, ::-1, :].astype(
-                        jnp.float32
-                    )
+                    # one forward at 2x batch instead of two dispatches
+                    n = x.shape[0]
+                    xb = jnp.concatenate([x, x[:, :, ::-1, :]])
+                    s = self.apply_fn(variables, xb).astype(jnp.float32)
+                    score = s[:n] + s[n:][:, :, ::-1, :]
+                else:
+                    score = self.apply_fn(variables, x).astype(jnp.float32)
                 return jnp.exp(score)
 
             fn = run
@@ -119,10 +121,12 @@ class Evaluator:
             crops = jax.vmap(lambda k: extract(k, None))(
                 jnp.arange(n_crops)
             )
-            score = self.apply_fn(variables, crops).astype(jnp.float32)
             if flip:
-                sf = self.apply_fn(variables, crops[:, :, ::-1, :])
-                score = score + sf[:, :, ::-1, :].astype(jnp.float32)
+                xb = jnp.concatenate([crops, crops[:, :, ::-1, :]])
+                s = self.apply_fn(variables, xb).astype(jnp.float32)
+                score = s[:n_crops] + s[n_crops:][:, :, ::-1, :]
+            else:
+                score = self.apply_fn(variables, crops).astype(jnp.float32)
             score = jnp.exp(score)
 
             canvas = jnp.zeros((*pad_shape, nc), jnp.float32)
