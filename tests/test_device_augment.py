@@ -1,0 +1,91 @@
+"""Device-side augmentation vs the host cv2 pipeline with identical
+deterministic parameters."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from torchseg_tpu.data.device_augment import (
+    AugmentParams,
+    augment_sample,
+    make_device_augment,
+)
+from torchseg_tpu.data.transforms import (
+    normalize,
+    random_crop_pad_to_shape,
+)
+
+MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _host_pipeline(img, gt, flip, scale, oy, ox, crop):
+    if flip:
+        img, gt = img[:, ::-1], gt[:, ::-1]
+    sh, sw = int(img.shape[0] * scale), int(img.shape[1] * scale)
+    img = cv2.resize(img, (sw, sh), interpolation=cv2.INTER_LINEAR)
+    gt = cv2.resize(gt, (sw, sh), interpolation=cv2.INTER_NEAREST)
+    imgf = normalize(img, MEAN, STD)
+    p_img, _ = random_crop_pad_to_shape(imgf, (oy, ox), crop, 0)
+    p_gt, _ = random_crop_pad_to_shape(gt, (oy, ox), crop, 255)
+    return p_img, p_gt
+
+
+def _run_case(flip, scale, oy, ox, crop=(32, 32), hw=(40, 56)):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (*hw, 3)).astype(np.uint8)
+    gt = rng.integers(0, 19, hw).astype(np.uint8)
+
+    params = AugmentParams(
+        flip=jnp.asarray(flip),
+        scale=jnp.asarray(scale, jnp.float32),
+        off_y=jnp.asarray(oy, jnp.int32),
+        off_x=jnp.asarray(ox, jnp.int32),
+    )
+    d_img, d_gt = augment_sample(
+        jnp.asarray(img), jnp.asarray(gt), params, crop, MEAN, STD
+    )
+    h_img, h_gt = _host_pipeline(img, gt, flip, scale, oy, ox, crop)
+    return np.asarray(d_img), np.asarray(d_gt), h_img, h_gt.astype(np.int32)
+
+
+def test_identity_scale_no_flip():
+    d_img, d_gt, h_img, h_gt = _run_case(False, 1.0, 3, 7)
+    np.testing.assert_allclose(d_img, h_img, atol=3e-2)  # cv2 fixed-point
+    np.testing.assert_array_equal(d_gt, h_gt)
+
+
+def test_flip():
+    d_img, d_gt, h_img, h_gt = _run_case(True, 1.0, 0, 0)
+    np.testing.assert_allclose(d_img, h_img, atol=3e-2)
+    np.testing.assert_array_equal(d_gt, h_gt)
+
+
+def test_upscale_crop():
+    d_img, d_gt, h_img, h_gt = _run_case(False, 1.5, 5, 9)
+    np.testing.assert_allclose(d_img, h_img, atol=5e-2)
+    assert (d_gt == h_gt).mean() > 0.99  # nearest boundary rounding
+
+
+def test_downscale_pad():
+    # scale 0.5 of (40,56) -> (20,28) < crop 32 => center pad
+    d_img, d_gt, h_img, h_gt = _run_case(False, 0.5, 0, 0)
+    np.testing.assert_allclose(d_img, h_img, atol=5e-2)
+    assert (d_gt == h_gt).mean() > 0.99
+    assert (d_gt == 255).any()  # padding present
+
+
+def test_batched_jit_runs():
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (4, 40, 56, 3)).astype(np.uint8)
+    gts = rng.integers(0, 19, (4, 40, 56)).astype(np.uint8)
+    aug = make_device_augment((32, 32), (0.75, 1.0, 1.5), MEAN, STD)
+    out_img, out_gt = aug(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                          jnp.asarray(gts))
+    assert out_img.shape == (4, 32, 32, 3) and out_img.dtype == jnp.float32
+    assert out_gt.shape == (4, 32, 32) and out_gt.dtype == jnp.int32
+    # different key -> different augmentation
+    out_img2, _ = aug(jax.random.PRNGKey(1), jnp.asarray(imgs),
+                      jnp.asarray(gts))
+    assert not np.allclose(np.asarray(out_img), np.asarray(out_img2))
