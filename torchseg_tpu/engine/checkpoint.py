@@ -46,11 +46,30 @@ def link_last(snapshot_dir: str, path: str):
         pass  # filesystems without symlink support
 
 
-def restore_checkpoint(path: str, state_template: Any):
+def restore_checkpoint(path: str, state_template: Any, strict: bool = True):
     """Restore into the template's pytree structure.  Returns
     (state, epoch, extra).  ``epoch`` is the epoch that WAS saved; resume at
-    epoch+1 like the reference (engine.py:145-146)."""
+    epoch+1 like the reference (engine.py:145-146).
+
+    strict=True raises on array-shape mismatches (msgpack restore would
+    otherwise silently swap in wrong-shaped arrays)."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     state = serialization.from_state_dict(state_template, payload["state"])
+    if strict:
+        mismatches = []
+
+        def chk(path_, a, b):
+            if hasattr(a, "shape") and hasattr(b, "shape"):
+                if tuple(a.shape) != tuple(b.shape):
+                    mismatches.append(
+                        (jax.tree_util.keystr(path_), a.shape, b.shape)
+                    )
+
+        jax.tree_util.tree_map_with_path(chk, state_template, state)
+        if mismatches:
+            raise ValueError(
+                f"checkpoint {path} shape mismatches: {mismatches[:5]}"
+                f" (+{max(len(mismatches) - 5, 0)} more)"
+            )
     return state, int(payload["epoch"]), payload.get("extra", {})
