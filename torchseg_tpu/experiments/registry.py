@@ -18,6 +18,7 @@ from .. import models
 from ..data import ADE, Cityscapes, VOC
 from ..data.preprocess import ADETrainPre, DFNTrainPre, SegTrainPre
 from ..ops.losses import (
+    CITYSCAPES_CLASS_WEIGHTS,
     cross_entropy_with_ignore,
     prob_ohem_cross_entropy,
     sigmoid_focal_loss_border,
@@ -79,6 +80,7 @@ class ExperimentConfig:
     # memory/perf knobs
     remat: bool = False          # jax.checkpoint backbone blocks
     ohem_approx: bool = False    # histogram OHEM threshold (vs exact sort)
+    ohem_use_weight: bool = False  # Cityscapes 19-class weights (loss_opr.py:57)
     # bookkeeping
     snapshot_iter: int = 50
     pretrained: Optional[str] = None
@@ -250,6 +252,7 @@ def build_loss_fn(cfg: ExperimentConfig, num_shards: int = 1):
         thresh = cfg.ohem_thresh
 
         approx = cfg.ohem_approx
+        weights = CITYSCAPES_CLASS_WEIGHTS if cfg.ohem_use_weight else None
 
         def loss_fn(outs, batch):
             label = batch["label"]
@@ -257,7 +260,8 @@ def build_loss_fn(cfg: ExperimentConfig, num_shards: int = 1):
             for key in ("aux0", "aux1", "main"):
                 total = total + prob_ohem_cross_entropy(
                     outs[key], label, ignore, thresh=thresh,
-                    min_kept=min_kept, approx_threshold=approx,
+                    min_kept=min_kept, class_weights=weights,
+                    approx_threshold=approx,
                 )
             return total
 

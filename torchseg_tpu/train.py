@@ -57,6 +57,9 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=12345)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32)")
+    p.add_argument("--device-augment", action="store_true",
+                   help="run mirror/scale/crop/normalize on the TPU "
+                        "(uniform-size datasets, e.g. Cityscapes)")
     p.add_argument("--pretrained", default=None,
                    help="torch .pth backbone checkpoint to graft")
     return p
@@ -90,7 +93,20 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else None
     model = build_model(cfg, axis_name="data", dtype=dtype)
     loss_fn = build_loss_fn(cfg, num_shards=n_dev)
-    preprocess = build_preprocess(cfg)
+    device_aug = None
+    if args.device_augment:
+        from .data.device_augment import make_device_augment
+
+        preprocess = None  # host only decodes; TPU does the transforms
+        device_aug = make_device_augment(
+            (cfg.image_height, cfg.image_width),
+            cfg.train_scale_array or (1.0,),
+            cfg.image_mean,
+            cfg.image_std,
+            gt_pad=cfg.ignore_label if cfg.ignore_label >= 0 else 255,
+        )
+    else:
+        preprocess = build_preprocess(cfg)
 
     if args.synthetic:
         dataset = SyntheticDataset(
@@ -131,6 +147,11 @@ def main(argv=None):
     first_batch = next(iter(loader))
     batch_jnp = {k: jnp.asarray(v) for k, v in first_batch.items()
                  if isinstance(v, np.ndarray)}
+    if device_aug is not None:
+        img, lab = device_aug(
+            jax.random.PRNGKey(0), batch_jnp["image"], batch_jnp["label"]
+        )
+        batch_jnp = {"image": img, "label": lab}
     state = trainer.init_state(jax.random.PRNGKey(cfg_seed(args.seed)), batch_jnp)
 
     # param groups need the realized params
@@ -161,6 +182,12 @@ def main(argv=None):
             batch_jnp = {k: jnp.asarray(v) for k, v in batch.items()
                          if isinstance(v, np.ndarray)}
             rng, step_rng = jax.random.split(rng)
+            if device_aug is not None:
+                rng, aug_rng = jax.random.split(rng)
+                img, lab = device_aug(
+                    aug_rng, batch_jnp["image"], batch_jnp["label"]
+                )
+                batch_jnp = {"image": img, "label": lab}
             state, loss, lr = trainer.train_step(state, batch_jnp, step_rng)
             if it % 10 == 0:
                 logger.info(
