@@ -55,3 +55,20 @@ def test_resnet_stem_uses_s2d_param_compatible():
     out_even = m.apply(v_even, jnp.zeros((1, 64, 64, 3)))
     out_odd = m.apply(v_even, jnp.zeros((1, 63, 65, 3)))
     assert out_even[0].shape[-1] == out_odd[0].shape[-1] == 64
+
+
+def test_cpad_matches_plain_conv():
+    from torchseg_tpu.ops.s2d import conv_stride2_cpad
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 32, 48, 3)).astype(np.float32)
+    w = rng.normal(size=(7, 7, 3, 16)).astype(np.float32) * 0.1
+    want = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (2, 2), [(3, 3)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+    )
+    got = conv_stride2_cpad(jnp.asarray(x), jnp.asarray(w))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
