@@ -47,12 +47,15 @@ def main():
         )
 
     n = args.chain
+    from torchseg_tpu.deploy.fused_stem import _fused_stem
 
     @jax.jit
     def chained(variables, x, seed):
         def body(i, carry):
             x, acc = carry
-            scores = model.apply(variables, x, train=False)
+            # deploy path: both 7x7 stems as one conv (deploy/fused_stem.py)
+            stems = _fused_stem(variables, x, cfg.bn_eps)
+            scores = model.apply(variables, x, train=False, stem_outs=stems)
             pred = jnp.argmax(scores, axis=-1)
             acc = acc + pred[0, 0, 0]
             # data dependency: next input depends on this prediction

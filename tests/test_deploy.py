@@ -1,0 +1,30 @@
+"""Deploy-time fused stem == standard eval forward, bit-for-bit in f32."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from torchseg_tpu.deploy.fused_stem import make_bisenet_fused_infer
+from torchseg_tpu.experiments.registry import build_model, get_experiment
+
+
+def test_fused_stem_matches_plain():
+    cfg = get_experiment("cityscapes.bisenet.R18.speed")
+    model = build_model(cfg, axis_name=None)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
+    # non-trivial BN stats so folding is actually exercised
+    variables = jax.tree.map(lambda a: a, variables)
+    stats = jax.tree.map(
+        lambda a: a + 0.3 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
+        / a.size,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 128, 3))
+    plain = model.apply(variables, x, train=False)
+    fused = make_bisenet_fused_infer(model, variables, cfg.bn_eps)(x)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(plain), rtol=1e-4, atol=1e-5
+    )

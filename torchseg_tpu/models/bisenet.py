@@ -43,10 +43,13 @@ class SpatialPath(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stem_features=None):
         inner = 64
-        x = ConvBnRelu(inner, 7, 2, 3, norm=self.norm, dtype=self.dtype,
-                       name="conv_7x7")(x, train)
+        if stem_features is not None:
+            x = stem_features  # deploy-time fused stem (deploy/fused_stem.py)
+        else:
+            x = ConvBnRelu(inner, 7, 2, 3, norm=self.norm, dtype=self.dtype,
+                           name="conv_7x7")(x, train)
         x = ConvBnRelu(inner, 3, 2, 1, norm=self.norm, dtype=self.dtype,
                        name="conv_3x3_1")(x, train)
         x = ConvBnRelu(inner, 3, 2, 1, norm=self.norm, dtype=self.dtype,
@@ -95,12 +98,18 @@ class BiSeNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stem_outs=None):
+        """stem_outs: optional (spatial_stem, backbone_stem) activations from
+        the deploy-time fused stem — both 7x7/2 convs of the R18 variant run
+        as ONE conv over the shared input (deploy/fused_stem.py)."""
         cc = self.conv_channel
+        sp_stem, bb_stem = stem_outs if stem_outs is not None else (None, None)
         spatial_out = SpatialPath(128, norm=self.norm, dtype=self.dtype,
-                                  name="spatial_path")(x, train)
+                                  name="spatial_path")(
+            x, train, stem_features=sp_stem
+        )
 
-        context_blocks = list(self.backbone(x, train))
+        context_blocks = list(self.backbone(x, train, stem_features=bb_stem))
         context_blocks.reverse()  # [÷32, ÷16, ÷8, (÷4)]
 
         gc = jnp.mean(context_blocks[0], axis=(1, 2), keepdims=True)

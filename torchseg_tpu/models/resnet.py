@@ -150,21 +150,32 @@ class ResNet(nn.Module):
     remat: bool = False  # jax.checkpoint each block (activation recompute)
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+    def __call__(
+        self, x, train: bool = False, stem_features=None
+    ) -> Tuple[jnp.ndarray, ...]:
+        """stem_features: precomputed post-stem (post conv1/bn1/relu, pre
+        maxpool) activations — the deploy-time fused-stem path
+        (deploy/fused_stem.py) computes them jointly with other stems."""
         norm = lambda name: self.norm(dtype=self.dtype, name=name)
-        if self.deep_stem:
-            # v1c stem: three 3x3 convs (reference resnet.py:110-126)
-            x = _stem_conv(x, self.stem_width, 3, 2, "stem_conv1", self.dtype)
-            x = norm("stem_bn1")(x, use_running_average=not train)
-            x = nn.relu(x)
-            x = _conv(self.stem_width, 3, 1, 1, "stem_conv2", self.dtype)(x)
-            x = norm("stem_bn2")(x, use_running_average=not train)
-            x = nn.relu(x)
-            x = _conv(self.stem_width * 2, 3, 1, 1, "stem_conv3", self.dtype)(x)
+        if stem_features is not None:
+            x = stem_features
         else:
-            x = _stem_conv(x, 64, 7, 2, "conv1", self.dtype)
-        x = norm("bn1")(x, use_running_average=not train)
-        x = nn.relu(x)
+            if self.deep_stem:
+                # v1c stem: three 3x3 convs (reference resnet.py:110-126)
+                x = _stem_conv(x, self.stem_width, 3, 2, "stem_conv1",
+                               self.dtype)
+                x = norm("stem_bn1")(x, use_running_average=not train)
+                x = nn.relu(x)
+                x = _conv(self.stem_width, 3, 1, 1, "stem_conv2",
+                          self.dtype)(x)
+                x = norm("stem_bn2")(x, use_running_average=not train)
+                x = nn.relu(x)
+                x = _conv(self.stem_width * 2, 3, 1, 1, "stem_conv3",
+                          self.dtype)(x)
+            else:
+                x = _stem_conv(x, 64, 7, 2, "conv1", self.dtype)
+            x = norm("bn1")(x, use_running_average=not train)
+            x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         inplanes = self.stem_width * 2 if self.deep_stem else 64

@@ -93,10 +93,15 @@ class Xception(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
-        x = ConvBnRelu(
-            8, 3, 2, 1, norm=self.norm, dtype=self.dtype, name="conv1"
-        )(x, train)
+    def __call__(
+        self, x, train: bool = False, stem_features=None
+    ) -> Tuple[jnp.ndarray, ...]:
+        if stem_features is not None:
+            x = stem_features  # precomputed post-conv1 activations
+        else:
+            x = ConvBnRelu(
+                8, 3, 2, 1, norm=self.norm, dtype=self.dtype, name="conv1"
+            )(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         feats = []
