@@ -64,11 +64,13 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, (x + seed, jnp.int32(0)))[1]
 
-    x = jnp.asarray(
-        np.random.default_rng(0)
-        .normal(size=(1, args.height, args.width, 3))
-        .astype(np.float32)
+    # serving input format: channels zero-padded 3 -> 8 (host-side prep, like
+    # an NCHW->NHWC conversion; see deploy/fused_stem.py)
+    img = np.zeros((1, args.height, args.width, 8), np.float32)
+    img[..., :3] = np.random.default_rng(0).normal(
+        size=(1, args.height, args.width, 3)
     )
+    x = jnp.asarray(img)
     if dtype is not None:
         x = x.astype(jnp.bfloat16)
 

@@ -121,3 +121,29 @@ def test_fused_upsample_argmax():
     assert got.shape == (2, 128, 192)
     # bilinear ties are measure-zero with random input; require exact match
     assert (got == want).mean() > 0.999
+
+
+def test_stem_conv7x7_s2_matches_xla():
+    from torchseg_tpu.ops.pallas.stem_conv import stem_conv7x7_s2
+
+    rng = np.random.default_rng(12)
+    h, w, cout = 32, 64, 128
+    x = rng.normal(size=(1, h, w, 3)).astype(np.float32)
+    kernel = (rng.normal(size=(7, 7, 3, cout)) * 0.05).astype(np.float32)
+    a = rng.normal(size=(cout,)).astype(np.float32)
+    b = rng.normal(size=(cout,)).astype(np.float32)
+
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(kernel), (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    want = np.maximum(np.asarray(want) * a + b, 0)
+
+    y1, y2 = stem_conv7x7_s2(
+        jnp.asarray(x), jnp.asarray(kernel), jnp.asarray(a), jnp.asarray(b),
+        split=64, out_dtype=jnp.float32,
+    )
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    assert got.shape == want.shape == (1, h // 2, w // 2, cout)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

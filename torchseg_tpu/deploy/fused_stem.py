@@ -48,8 +48,14 @@ def _fused_stem(variables, x, eps: float = 1e-5):
 
     cin = kernel.shape[2]
     if cin < 8:  # channel-pad (see ops/s2d.conv_stride2_cpad)
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 8 - cin)))
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 8 - cin), (0, 0)))
+        if x.shape[-1] == cin:
+            # serving fast path: feed x already zero-padded to 8 channels
+            # (like NHWC vs NCHW, an input-format choice) to skip an
+            # in-graph 0.8 ms pad+relayout of the full-res input.
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 8 - cin)))
+        else:
+            assert x.shape[-1] == 8, x.shape
     out = jax.lax.conv_general_dilated(
         x, kernel, (2, 2), [(3, 3), (3, 3)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
