@@ -46,6 +46,50 @@ def compute_score(hist: np.ndarray, correct, labeled):
     return iou, mean_iou, mean_iou_no_back, mean_pixel_acc
 
 
+# ---------------------------------------------------------------------
+# ADE-style histogram metrics (reference metric.py:31-89)
+# ---------------------------------------------------------------------
+def intersection_and_union(pred: np.ndarray, label: np.ndarray,
+                           num_classes: int):
+    """Per-class intersection/union areas with 1-based shifting so unlabeled
+    (0 after shift) pixels don't count (reference metric.py:40-64)."""
+    pred = np.asarray(pred).copy() + 1
+    label = np.asarray(label).copy() + 1
+    pred = pred * (label > 0)
+    inter = pred * (pred == label)
+    area_inter, _ = np.histogram(inter, bins=num_classes,
+                                 range=(1, num_classes))
+    area_pred, _ = np.histogram(pred, bins=num_classes,
+                                range=(1, num_classes))
+    area_lab, _ = np.histogram(label, bins=num_classes,
+                               range=(1, num_classes))
+    return area_inter, area_pred + area_lab - area_inter
+
+
+def mean_iou(area_intersection: np.ndarray, area_union: np.ndarray):
+    """(reference metric.py:31-37) — rows are classes, columns images."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = 1.0 * np.sum(area_intersection, axis=1) / np.sum(
+            area_union, axis=1
+        )
+        return iou, np.nanmean(iou), np.nanmean(iou[1:])
+
+
+def pixel_accuracy(pred: np.ndarray, label: np.ndarray):
+    """(reference metric.py:74-82)."""
+    labeled = np.sum(label >= 0)
+    correct = np.sum((pred == label) * (label >= 0))
+    return 1.0 * correct / labeled, correct, labeled
+
+
+def accuracy(preds: np.ndarray, label: np.ndarray):
+    """(reference metric.py:85-89)."""
+    valid = label >= 0
+    acc_sum = (valid * (preds == label)).sum()
+    valid_sum = valid.sum()
+    return float(acc_sum) / (valid_sum + 1e-10), valid_sum
+
+
 @dataclass
 class ConfusionAccumulator:
     """Streaming accumulator used by the evaluator (replaces the reference's
