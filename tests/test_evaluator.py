@@ -113,3 +113,17 @@ def test_run_dataset_whole():
     assert acc.hist.sum() == 4 * 24 * 24
     iou, miou, _, acc_pix = acc.scores()
     assert iou.shape == (3,)
+
+
+def test_multidevice_eval_matches_single():
+    import jax
+
+    ds = SyntheticDataset(num_items=6, image_hw=(24, 24), num_classes=3)
+    ev1 = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD)
+    acc1 = ev1.run_dataset(ds, mode="whole", process_index=0, process_count=1)
+    evn = Evaluator(
+        _pixelwise_apply, {}, 3, MEAN, STD, devices=jax.devices()[:4]
+    )
+    accn = evn.run_dataset(ds, mode="whole", process_index=0, process_count=1)
+    np.testing.assert_array_equal(acc1.hist, accn.hist)
+    assert acc1.labeled == accn.labeled and acc1.correct == accn.correct

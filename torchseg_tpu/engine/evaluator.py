@@ -68,6 +68,7 @@ class Evaluator:
         self.crop_size = crop_size
         self.stride_rate = stride_rate
         self.max_batch = max_batch
+        self.devices = list(devices) if devices is not None else None
         self.logger = get_logger()
         self._jit_cache = {}
 
@@ -273,51 +274,108 @@ class Evaluator:
         """
         pidx = process_index if process_index is not None else jax.process_index()
         pcnt = process_count if process_count is not None else jax.process_count()
+        if self.devices is not None and len(self.devices) > 1:
+            return self._run_dataset_multidevice(
+                dataset, mode, gt_down_sampling, resize_to, save_pred_dir,
+                label_offset, pidx, pcnt,
+            )
         acc = ConfusionAccumulator(self.num_classes)
         n = len(dataset)
         t0 = time.time()
-        for idx in range(pidx, n, pcnt):
+        for k, idx in enumerate(range(pidx, n, pcnt)):
             item = dataset[idx]
-            img, label = item["image"], item["label"]
-            if label_offset:
-                label = label.astype(np.int64) + label_offset
-            if resize_to is not None:
-                h, w = resize_to
-                img = cv2.resize(
-                    img, (w, h), interpolation=cv2.INTER_LINEAR
-                )
-                label = cv2.resize(
-                    label.astype(np.int32),
-                    (w // gt_down_sampling, h // gt_down_sampling),
-                    interpolation=cv2.INTER_NEAREST,
-                )
-            elif gt_down_sampling > 1:
-                label = cv2.resize(
-                    label.astype(np.int32),
-                    (
-                        label.shape[1] // gt_down_sampling,
-                        label.shape[0] // gt_down_sampling,
-                    ),
-                    interpolation=cv2.INTER_NEAREST,
-                )
-            if mode == "sliding":
-                pred = self.sliding_eval(img)
-            else:
-                pred = self.whole_eval(img, output_size=label.shape)
-            acc.update(pred.astype(np.int64), label.astype(np.int64))
-            if save_pred_dir is not None:
-                import os
-
-                os.makedirs(save_pred_dir, exist_ok=True)
-                cv2.imwrite(
-                    os.path.join(save_pred_dir, item["fn"] + ".png"),
-                    pred.astype(np.uint8),
-                )
-            if (idx // pcnt) % 10 == 0:
+            pred, label = self._eval_one(
+                item, mode, gt_down_sampling, resize_to, label_offset,
+                save_pred_dir,
+            )
+            acc.update(pred, label)
+            if k % 10 == 0:
                 self.logger.info(
-                    "eval %d/%d (%.2fs/img)",
-                    idx + 1,
-                    n,
-                    (time.time() - t0) / max(idx // pcnt + 1, 1),
+                    "eval %d/%d (%.2fs/img)", idx + 1, n,
+                    (time.time() - t0) / (k + 1),
                 )
+        return acc
+
+    def _eval_one(self, item, mode, gt_down_sampling, resize_to,
+                  label_offset, save_pred_dir):
+        img, label = item["image"], item["label"]
+        if label_offset:
+            label = label.astype(np.int64) + label_offset
+        if resize_to is not None:
+            h, w = resize_to
+            img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+            label = cv2.resize(
+                label.astype(np.int32),
+                (w // gt_down_sampling, h // gt_down_sampling),
+                interpolation=cv2.INTER_NEAREST,
+            )
+        elif gt_down_sampling > 1:
+            label = cv2.resize(
+                label.astype(np.int32),
+                (
+                    label.shape[1] // gt_down_sampling,
+                    label.shape[0] // gt_down_sampling,
+                ),
+                interpolation=cv2.INTER_NEAREST,
+            )
+        if mode == "sliding":
+            pred = self.sliding_eval(img)
+        else:
+            pred = self.whole_eval(img, output_size=label.shape)
+        if save_pred_dir is not None:
+            import os
+
+            os.makedirs(save_pred_dir, exist_ok=True)
+            cv2.imwrite(
+                os.path.join(save_pred_dir, item["fn"] + ".png"),
+                pred.astype(np.uint8),
+            )
+        return pred.astype(np.int64), label.astype(np.int64)
+
+    def _run_dataset_multidevice(self, dataset, mode, gt_down_sampling,
+                                 resize_to, save_pred_dir, label_offset,
+                                 pidx, pcnt):
+        """One worker thread per local device, contiguous index shards —
+        the in-process equivalent of the reference's one-mp.Process-per-GPU
+        architecture (evaluator.py:96-146)."""
+        import threading
+
+        my_indices = list(range(pidx, len(dataset), pcnt))
+        n_dev = len(self.devices)
+        step = -(-len(my_indices) // n_dev)
+        results = [None] * n_dev
+
+        def worker(slot, device, idxs):
+            sub = Evaluator(
+                self.apply_fn,
+                jax.device_put(self.variables, device),
+                self.num_classes,
+                self.image_mean,
+                self.image_std,
+                multi_scales=self.multi_scales,
+                is_flip=self.is_flip,
+                crop_size=self.crop_size,
+                stride_rate=self.stride_rate,
+            )
+            acc = ConfusionAccumulator(self.num_classes)
+            for idx in idxs:
+                pred, label = sub._eval_one(
+                    dataset[idx], mode, gt_down_sampling, resize_to,
+                    label_offset, save_pred_dir,
+                )
+                acc.update(pred, label)
+            results[slot] = acc
+
+        threads = []
+        for d, device in enumerate(self.devices):
+            idxs = my_indices[d * step : (d + 1) * step]
+            t = threading.Thread(target=worker, args=(d, device, idxs))
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
+        acc = ConfusionAccumulator(self.num_classes)
+        for r in results:
+            if r is not None:
+                acc.merge(r)
         return acc
