@@ -47,32 +47,32 @@ def main():
         )
 
     n = args.chain
-    from torchseg_tpu.deploy.fused_stem import _fused_stem
+    from torchseg_tpu.deploy.fused_stem import _fused_stem_s2d, prepare_s2d_input
+
+    h, w = args.height, args.width
 
     @jax.jit
-    def chained(variables, x, seed):
+    def chained(variables, xs, seed):
         def body(i, carry):
-            x, acc = carry
-            # deploy path: both 7x7 stems as one conv (deploy/fused_stem.py)
-            stems = _fused_stem(variables, x, cfg.bn_eps)
-            scores = model.apply(variables, x, train=False, stem_outs=stems)
+            xs, acc = carry
+            # deploy path: both 7x7 stems as ONE 4x4 stride-1 conv over the
+            # s2d serving input format (deploy/fused_stem.py)
+            stems = _fused_stem_s2d(variables, xs, cfg.bn_eps)
+            dummy = jnp.zeros((1, h, w, 3), xs.dtype)  # unused, DCE'd
+            scores = model.apply(
+                variables, dummy, train=False, stem_outs=stems
+            )
             pred = jnp.argmax(scores, axis=-1)
             acc = acc + pred[0, 0, 0]
             # data dependency: next input depends on this prediction
-            x = x + (acc % 2).astype(x.dtype) * 1e-8
-            return (x, acc)
+            xs = xs + (acc % 2).astype(xs.dtype) * 1e-8
+            return (xs, acc)
 
-        return jax.lax.fori_loop(0, n, body, (x + seed, jnp.int32(0)))[1]
+        return jax.lax.fori_loop(0, n, body, (xs + seed, jnp.int32(0)))[1]
 
-    # serving input format: channels zero-padded 3 -> 8 (host-side prep, like
-    # an NCHW->NHWC conversion; see deploy/fused_stem.py)
-    img = np.zeros((1, args.height, args.width, 8), np.float32)
-    img[..., :3] = np.random.default_rng(0).normal(
-        size=(1, args.height, args.width, 3)
-    )
-    x = jnp.asarray(img)
-    if dtype is not None:
-        x = x.astype(jnp.bfloat16)
+    img = np.random.default_rng(0).normal(size=(1, h, w, 3)).astype(np.float32)
+    x = prepare_s2d_input(img, dtype=jnp.bfloat16 if dtype is not None
+                          else jnp.float32)
 
     int(chained(variables, x, 0.0))  # compile + warm
     times = []

@@ -28,3 +28,23 @@ def test_fused_stem_matches_plain():
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(plain), rtol=1e-4, atol=1e-5
     )
+
+
+def test_s2d_input_format_matches_plain():
+    cfg = get_experiment("cityscapes.bisenet.R18.speed")
+    model = build_model(cfg, axis_name=None)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 128, 3))
+    plain = model.apply(variables, x, train=False)
+
+    from torchseg_tpu.deploy.fused_stem import prepare_s2d_input
+
+    xs = prepare_s2d_input(np.asarray(x), dtype=jnp.float32)
+    fused = make_bisenet_fused_infer(
+        model, variables, cfg.bn_eps, input_format="s2d"
+    )(xs)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(plain), rtol=1e-4, atol=1e-5
+    )

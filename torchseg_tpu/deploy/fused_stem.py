@@ -65,15 +65,79 @@ def _fused_stem(variables, x, eps: float = 1e-5):
     return out[..., :n], out[..., n:]
 
 
+def prepare_s2d_input(img: "np_or_jnp", dtype=jnp.bfloat16):
+    """Serving input format 's2d': (1, H, W, 3) -> (1, H/2, W/2, 12) with the
+    2x2 space-to-depth (a, b, c) channel order of ops/s2d.conv_stride2_s2d.
+    Host-side prep, like an NCHW->NHWC conversion."""
+    import numpy as np
+
+    x = np.asarray(img)
+    b, h, w, c = x.shape
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    return jnp.asarray(xs, dtype)
+
+
+def _fused_stem_s2d(variables, xs, eps: float = 1e-5):
+    """Both stems as ONE 4x4 stride-1 conv over s2d input (see ops/s2d.py
+    for the exact kernel transform).  Measured on v5e: the s2d-input conv
+    needs no im2col relayout (1.18 ms vs 1.2 + 0.8 ms), but the s2d
+    transpose must happen outside the graph (XLA pins it to a conv-hostile
+    layout otherwise) — hence the input-format contract."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    k_sp = p["spatial_path"]["conv_7x7"]["conv"]["kernel"]
+    k_bb = p["backbone"]["conv1"]["kernel"]
+    a_sp, b_sp = fold_bn_affine(
+        p["spatial_path"]["conv_7x7"]["bn"], s["spatial_path"]["conv_7x7"]["bn"],
+        eps,
+    )
+    a_bb, b_bb = fold_bn_affine(p["backbone"]["bn1"], s["backbone"]["bn1"], eps)
+
+    dtype = xs.dtype
+    kernel = jnp.concatenate([k_sp, k_bb], axis=-1).astype(dtype)  # 7,7,3,128
+    a = jnp.concatenate([a_sp, a_bb]).astype(dtype)
+    b = jnp.concatenate([b_sp, b_bb]).astype(dtype)
+
+    c = kernel.shape[2]
+    cout = kernel.shape[3]
+    # kernel s2d transform (d = (7//2) % 2 = 1): pad to 8x8 at top/left,
+    # regroup to (4, 4, 4c, cout); conv stride 1 with pad (2, 1)
+    wpad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    wk = wpad.reshape(4, 2, 4, 2, c, cout).transpose(0, 2, 1, 3, 4, 5)
+    wk = wk.reshape(4, 4, 4 * c, cout)
+    out = jax.lax.conv_general_dilated(
+        xs, wk, (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = jnp.maximum(out * a + b, 0)
+    n = k_sp.shape[-1]
+    return out[..., :n], out[..., n:]
+
+
 def make_bisenet_fused_infer(model, variables, bn_eps: float = 1e-5,
-                             argmax: bool = False):
-    """Jitted serving fn(x_nhwc) for a classic-stem (R18) BiSeNet: fused
-    stems + the standard eval forward."""
+                             argmax: bool = False,
+                             input_format: str = "nhwc"):
+    """Jitted serving fn for a classic-stem (R18) BiSeNet: fused stems + the
+    standard eval forward.
+
+    input_format: 'nhwc' takes (1,H,W,3|8); 's2d' takes the pre-s2d'ed
+    (1,H/2,W/2,12) tensor from ``prepare_s2d_input`` (fastest on v5e)."""
 
     @jax.jit
     def infer(x):
-        stem_outs = _fused_stem(variables, x, bn_eps)
-        scores = model.apply(variables, x, train=False, stem_outs=stem_outs)
+        if input_format == "s2d":
+            stem_outs = _fused_stem_s2d(variables, x, bn_eps)
+            b, h2, w2, _ = x.shape
+            dummy = jnp.zeros((b, h2 * 2, w2 * 2, 3), x.dtype)
+            scores = model.apply(
+                variables, dummy, train=False, stem_outs=stem_outs
+            )
+        else:
+            stem_outs = _fused_stem(variables, x, bn_eps)
+            scores = model.apply(
+                variables, x, train=False, stem_outs=stem_outs
+            )
         if argmax:
             return jnp.argmax(scores, axis=-1).astype(jnp.int32)
         return scores
