@@ -27,6 +27,7 @@ from .engine.logger import get_logger
 from .engine.lr_policy import PolyLR
 from .engine.optim import make_lr_mult_tree, make_wd_tree
 from .engine.trainer import Trainer, make_data_mesh
+from .parallel import shard_batch
 from .experiments.registry import (
     DATASETS,
     build_loss_fn,
@@ -179,8 +180,13 @@ def main(argv=None):
         loader.set_epoch(epoch)
         t0 = time.time()
         for it, batch in enumerate(loader):
-            batch_jnp = {k: jnp.asarray(v) for k, v in batch.items()
-                         if isinstance(v, np.ndarray)}
+            # place the global batch sharded over the mesh (the driver-side
+            # half of the DistributedSampler split)
+            batch_jnp = shard_batch(
+                {k: v for k, v in batch.items()
+                 if isinstance(v, np.ndarray)},
+                mesh,
+            )
             rng, step_rng = jax.random.split(rng)
             if device_aug is not None:
                 rng, aug_rng = jax.random.split(rng)
