@@ -123,3 +123,54 @@ def test_parallel_helpers():
     batch = {"image": jnp.zeros((16, 4, 4, 3))}
     sharded = shard_batch(batch, mesh)
     assert len(sharded["image"].sharding.device_set) == 8
+
+
+def test_dfn_train_step_with_aux_labels():
+    """DFN: CE smooth heads + focal border heads against the Canny aux label
+    batch key, through the full shard_map step."""
+    cfg = get_experiment("cityscapes.dfn.R101_v1c")
+    cfg = dataclasses.replace(
+        cfg, image_height=32, image_width=32, batch_size=8,
+        model="dfn_r101",
+    )
+    mesh = make_data_mesh(jax.devices()[:8])
+    # a slim stand-in backbone width would be ideal; use the real model at
+    # tiny crops — slow but exercises the exact wiring
+    model = build_model(cfg, axis_name="data")
+    loss_fn = build_loss_fn(cfg, num_shards=8)
+    trainer = Trainer(model, loss_fn, PolyLR(cfg.lr, cfg.lr_power, 100),
+                      sgd_momentum=cfg.momentum, mesh=mesh)
+    pre = build_preprocess(cfg)
+    assert type(pre).__name__ == "DFNTrainPre"
+    ds = SyntheticDataset(num_items=8, image_hw=(40, 40),
+                          num_classes=cfg.num_classes, preprocess=pre)
+    loader = TrainLoader(ds, 8, num_workers=2)
+    loader.set_epoch(0)
+    batch = _jnp_batch(next(iter(loader)))
+    assert "aux_label" in batch
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, loss, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+
+def test_pspnet_train_step_with_dropout():
+    """PSPNet: dilated backbone + PPM + dropout rng + log-softmax CE."""
+    cfg = get_experiment("ade.pspnet.R50_v1c")
+    cfg = dataclasses.replace(
+        cfg, image_height=48, image_width=48, batch_size=8,
+    )
+    mesh = make_data_mesh(jax.devices()[:8])
+    model = build_model(cfg, axis_name="data")
+    loss_fn = build_loss_fn(cfg, num_shards=8)
+    trainer = Trainer(model, loss_fn, PolyLR(cfg.lr, cfg.lr_power, 100),
+                      sgd_momentum=cfg.momentum, mesh=mesh)
+    pre = build_preprocess(cfg)
+    ds = SyntheticDataset(num_items=8, image_hw=(56, 56),
+                          num_classes=cfg.num_classes, preprocess=pre)
+    loader = TrainLoader(ds, 8, num_workers=2)
+    loader.set_epoch(0)
+    batch = _jnp_batch(next(iter(loader)))
+    assert int(batch["label"].min()) >= -1  # ADE shift applied
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, loss, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))

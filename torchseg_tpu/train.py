@@ -63,6 +63,11 @@ def build_argparser():
                         "(uniform-size datasets, e.g. Cityscapes)")
     p.add_argument("--pretrained", default=None,
                    help="torch .pth backbone checkpoint to graft")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address for "
+                        "jax.distributed.initialize")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -79,6 +84,12 @@ def main(argv=None):
         os.path.join(args.log_dir, cfg.name),
         f"log_{time.strftime('%Y_%m_%d_%H_%M_%S')}.log",
     )
+
+    if args.num_processes:
+        from .parallel import initialize_multihost
+
+        initialize_multihost(args.coordinator, args.num_processes,
+                             args.process_id)
 
     nepochs = args.epochs or cfg.nepochs
     niters = args.iters or cfg.niters_per_epoch
@@ -153,7 +164,7 @@ def main(argv=None):
             jax.random.PRNGKey(0), batch_jnp["image"], batch_jnp["label"]
         )
         batch_jnp = {"image": img, "label": lab}
-    state = trainer.init_state(jax.random.PRNGKey(cfg_seed(args.seed)), batch_jnp)
+    state = trainer.init_state(jax.random.PRNGKey(args.seed), batch_jnp)
 
     # param groups need the realized params
     trainer.lr_mult = make_lr_mult_tree(state.params, cfg.business_lr_mult)
@@ -207,10 +218,6 @@ def main(argv=None):
             path = save_checkpoint(snapshot_dir, state, epoch)
             logger.info("saved %s", path)
     return state
-
-
-def cfg_seed(seed):
-    return seed
 
 
 if __name__ == "__main__":
