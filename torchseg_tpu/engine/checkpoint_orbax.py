@@ -9,8 +9,6 @@ commits, async saves overlapping training, and keep-N garbage collection.
 import os
 from typing import Any, Optional
 
-import jax
-
 
 def _manager(directory: str, keep: int = 20):
     import orbax.checkpoint as ocp

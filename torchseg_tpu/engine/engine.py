@@ -17,7 +17,7 @@ so Engine mainly carries run state:
 
 import argparse
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 

@@ -16,7 +16,6 @@ the batch globally sharded; collectives ride ICI within a slice and DCN
 across slices.
 """
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax

@@ -27,7 +27,6 @@ from .engine.trainer import TrainState
 from .experiments.registry import (
     DATASETS,
     build_model,
-    build_loss_fn,
     get_experiment,
 )
 from .utils.visualize import print_iou

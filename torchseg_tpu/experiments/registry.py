@@ -12,8 +12,6 @@ import dataclasses
 import functools
 from typing import Optional, Sequence, Tuple
 
-import numpy as np
-
 from .. import models
 from ..data import ADE, Cityscapes, VOC
 from ..data.preprocess import ADETrainPre, DFNTrainPre, SegTrainPre

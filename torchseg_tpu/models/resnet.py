@@ -14,7 +14,7 @@ Param tree mirrors torch naming (conv1/bn1/layer1..4/<i>/conv1..) so torch
 checkpoints graft directly via utils/torch_convert.py.
 """
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

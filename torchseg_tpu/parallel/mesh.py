@@ -13,7 +13,7 @@ All single-node multi-chip communication rides ICI; multi-host crossings ride
 DCN — XLA picks the transport from the mesh layout, no NCCL/MPI analog needed.
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax

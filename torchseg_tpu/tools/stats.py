@@ -8,8 +8,6 @@ Two sources, no hooks needed in a functional framework:
     jitted forward — this is what actually runs after fusion.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
