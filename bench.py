@@ -26,6 +26,13 @@ def build(args):
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeat bench runs skip the ~60 s compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from torchseg_tpu.deploy.fused_stem import (
         _fused_stem_s2d,
         prepare_s2d_input,
