@@ -166,3 +166,23 @@ def test_make_manifest_cityscapes(tmp_path):
     assert len(lines) == 1
     a, b = lines[0].split("\t")
     assert a.endswith("_leftImg8bit.png") and "labelTrainIds" in b
+
+
+def test_loader_early_exit_no_leak():
+    import threading
+
+    pre = SegTrainPre(np.zeros(3), np.ones(3), crop_size=16)
+    ds = SyntheticDataset(num_items=64, image_hw=(24, 24), preprocess=pre)
+    loader = TrainLoader(ds, batch_size=4, num_workers=2, prefetch=1)
+    loader.set_epoch(0)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # consumer bails early
+    import time as _t
+
+    for _ in range(50):  # producer should exit promptly via the stop flag
+        if threading.active_count() <= before:
+            break
+        _t.sleep(0.1)
+    assert threading.active_count() <= before + 1

@@ -71,6 +71,17 @@ class TrainLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that honors early consumer exit (no thread leak
+            # when the consumer breaks out of the epoch mid-way)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(nb):
@@ -78,8 +89,9 @@ class TrainLoader:
                         return
                     idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
                     items = list(pool.map(self.dataset.__getitem__, idxs))
-                    out_q.put(_collate(items))
-            out_q.put(None)
+                    if not _put(_collate(items)):
+                        return
+            _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
