@@ -82,13 +82,13 @@ def build_argparser():
     return p
 
 
-def evaluate_checkpoint(cfg, variables, dataset, save_path=None, msf=False):
+def make_evaluator(cfg, variables, msf=False):
     model = build_model(cfg, axis_name=None)
 
     def apply_fn(v, x):
         return model.apply(v, x, train=False)
 
-    ev = Evaluator(
+    return Evaluator(
         apply_fn,
         variables,
         cfg.num_classes,
@@ -99,6 +99,14 @@ def evaluate_checkpoint(cfg, variables, dataset, save_path=None, msf=False):
         crop_size=cfg.eval_crop_size,
         stride_rate=cfg.eval_stride_rate,
     )
+
+
+def evaluate_checkpoint(cfg, variables, dataset, save_path=None, msf=False,
+                        ev=None):
+    if ev is None:
+        ev = make_evaluator(cfg, variables, msf)
+    else:
+        ev.variables = variables  # reuse compiled fns across the epoch sweep
     acc = ev.run_dataset(
         dataset,
         mode=cfg.eval_mode,
@@ -159,11 +167,14 @@ def main(argv=None):
     )
     os.makedirs(log_dir, exist_ok=True)
     results = []
+    ev = None
     for path in parse_epochs(str(args.epochs), snapshot_dir):
         state, epoch, _ = restore_checkpoint(path, template)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if ev is None:
+            ev = make_evaluator(cfg, variables, msf=args.msf)
         acc = evaluate_checkpoint(
-            cfg, variables, dataset, args.save_path, msf=args.msf
+            cfg, variables, dataset, args.save_path, msf=args.msf, ev=ev
         )
         iou, miou, miou_nb, pixacc = acc.scores()
         names = DATASETS[cfg.dataset].get_class_names() if not args.synthetic \
