@@ -186,3 +186,252 @@ def graft_torch_checkpoint(path: str, params, batch_stats=None,
         new_stats[subtree] = graft(batch_stats[subtree], src_stats)
         return new_params, new_stats
     return new_params
+
+
+# ---------------------------------------------------------------------
+# Full-model key mapping: reference model/*/network.py module names ->
+# our Flax param paths.  Enables grafting trained reference checkpoints
+# for the <=0.3-mIoU parity protocol (BASELINE.md).
+#
+# Leaf kinds: conv (OIHW->HWIO), dwconv ((C,1,k,k)->(k,k,1,C)),
+# linear (transpose), bias (copy), bn (split into params/batch_stats).
+# ---------------------------------------------------------------------
+
+_BN_LEAF = {
+    "weight": ("params", "scale"),
+    "bias": ("params", "bias"),
+    "running_mean": ("stats", "mean"),
+    "running_var": ("stats", "var"),
+}
+
+
+def xception_key_map(torch_key):
+    """furnace/base_model/xception.py keys -> our models/xception.py paths."""
+    k = torch_key
+    m = re.fullmatch(r"conv1\.conv\.weight", k)
+    if m:
+        return ("conv1", "conv"), "conv"
+    m = re.fullmatch(r"conv1\.bn\.(.+)", k)
+    if m:
+        return ("conv1", "bn", m.group(1)), "bn"
+    m = re.fullmatch(r"layer(\d)\.(\d+)\.(.+)", k)
+    if not m:
+        return None
+    prefix = (f"layer{m.group(1)}_{m.group(2)}",)
+    rest = m.group(3)
+    # branches: proj | residual_branch.{0,1,2} -> proj | sep1..sep3
+    m2 = re.fullmatch(r"proj\.(.+)", rest)
+    if m2:
+        sub, rest2 = "proj", m2.group(1)
+    else:
+        m2 = re.fullmatch(r"residual_branch\.(\d)\.(.+)", rest)
+        if not m2:
+            return None
+        sub, rest2 = f"sep{int(m2.group(1)) + 1}", m2.group(2)
+    # SeparableConvBnRelu: conv1 (depthwise) + point_wise_cbr.{conv,bn}
+    if rest2 == "conv1.weight":
+        return prefix + (sub, "depthwise"), "dwconv"
+    m3 = re.fullmatch(r"point_wise_cbr\.conv\.weight", rest2)
+    if m3:
+        return prefix + (sub, "pointwise", "conv"), "conv"
+    m3 = re.fullmatch(r"point_wise_cbr\.bn\.(.+)", rest2)
+    if m3:
+        return prefix + (sub, "pointwise", "bn", m3.group(1)), "bn"
+    return None
+
+
+# Per-family regex rules.  Path templates use \N for regex groups; the
+# special first components @resnet / @xception delegate the remainder.
+# @bn marks the trailing torch-BN leaf (weight/bias/running_*).
+_MODEL_RULES = {
+    "bisenet": [
+        (r"context_path\.(.+)", "@resnet \\1", None),
+        (r"spatial_path\.(conv_7x7|conv_3x3_1|conv_3x3_2|conv_1x1)"
+         r"\.conv\.weight", "spatial_path \\1 conv", "conv"),
+        (r"spatial_path\.(conv_7x7|conv_3x3_1|conv_3x3_2|conv_1x1)"
+         r"\.bn\.(.+)", "spatial_path \\1 bn @bn\\2", "bn"),
+        (r"global_context\.1\.conv\.weight", "global_context conv", "conv"),
+        (r"global_context\.1\.bn\.(.+)", "global_context bn @bn\\1", "bn"),
+        (r"arms\.(\d)\.conv_3x3\.conv\.weight", "arm\\1 conv_3x3 conv", "conv"),
+        (r"arms\.(\d)\.conv_3x3\.bn\.(.+)", "arm\\1 conv_3x3 bn @bn\\2", "bn"),
+        (r"arms\.(\d)\.channel_attention\.1\.conv\.weight",
+         "arm\\1 channel_attention conv", "conv"),
+        (r"arms\.(\d)\.channel_attention\.1\.bn\.(.+)",
+         "arm\\1 channel_attention bn @bn\\2", "bn"),
+        (r"refines\.(\d)\.conv\.weight", "refine\\1 conv", "conv"),
+        (r"refines\.(\d)\.bn\.(.+)", "refine\\1 bn @bn\\2", "bn"),
+        (r"heads\.(\d)\.conv_3x3\.conv\.weight", "head\\1 conv_3x3 conv",
+         "conv"),
+        (r"heads\.(\d)\.conv_3x3\.bn\.(.+)", "head\\1 conv_3x3 bn @bn\\2",
+         "bn"),
+        (r"heads\.(\d)\.conv_1x1\.weight", "head\\1 conv_1x1", "conv"),
+        (r"heads\.(\d)\.conv_1x1\.bias", "head\\1 conv_1x1", "bias"),
+        (r"ffm\.conv_1x1\.conv\.weight", "ffm conv_1x1 conv", "conv"),
+        (r"ffm\.conv_1x1\.bn\.(.+)", "ffm conv_1x1 bn @bn\\1", "bn"),
+        (r"ffm\.channel_attention\.1\.conv\.weight", "ffm ca1 conv", "conv"),
+        (r"ffm\.channel_attention\.2\.conv\.weight", "ffm ca2 conv", "conv"),
+    ],
+    "fcn": [
+        (r"backbone\.(.+)", "@resnet \\1", None),
+        (r"(head|aux_head)\.cbr\.conv\.weight", "\\1 cbr conv", "conv"),
+        (r"(head|aux_head)\.cbr\.bn\.(.+)", "\\1 cbr bn @bn\\2", "bn"),
+        (r"(head|aux_head)\.conv1x1\.weight", "\\1 conv1x1", "conv"),
+        (r"(head|aux_head)\.conv1x1\.bias", "\\1 conv1x1", "bias"),
+    ],
+    "pspnet": [
+        (r"backbone\.(.+)", "@resnet \\1", None),
+        (r"psp_layer\.ppm\.(\d)\.[^.]*cbr\.conv\.weight",
+         "psp_layer ppm\\1_cbr conv", "conv"),
+        (r"psp_layer\.ppm\.(\d)\.[^.]*cbr\.bn\.(.+)",
+         "psp_layer ppm\\1_cbr bn @bn\\2", "bn"),
+        (r"psp_layer\.conv6\.0\.conv\.weight", "psp_layer conv6_cbr conv",
+         "conv"),
+        (r"psp_layer\.conv6\.0\.bn\.(.+)", "psp_layer conv6_cbr bn @bn\\1",
+         "bn"),
+        (r"psp_layer\.conv6\.2\.weight", "psp_layer conv6_out", "conv"),
+        (r"psp_layer\.conv6\.2\.bias", "psp_layer conv6_out", "bias"),
+        (r"aux_layer\.0\.conv\.weight", "aux_layer cbr conv", "conv"),
+        (r"aux_layer\.0\.bn\.(.+)", "aux_layer cbr bn @bn\\1", "bn"),
+        (r"aux_layer\.2\.weight", "aux_layer out", "conv"),
+        (r"aux_layer\.2\.bias", "aux_layer out", "bias"),
+    ],
+    "psanet": [
+        (r"backbone\.(.+)", "@resnet \\1", None),
+        (r"psa_layer\.(collect|distribute)_reduction\.conv\.weight",
+         "psa_layer \\1 reduction conv", "conv"),
+        (r"psa_layer\.(collect|distribute)_reduction\.bn\.(.+)",
+         "psa_layer \\1 reduction bn @bn\\2", "bn"),
+        (r"psa_layer\.(collect|distribute)_attention\.0\.conv\.weight",
+         "psa_layer \\1 att_cbr conv", "conv"),
+        (r"psa_layer\.(collect|distribute)_attention\.0\.bn\.(.+)",
+         "psa_layer \\1 att_cbr bn @bn\\2", "bn"),
+        (r"psa_layer\.(collect|distribute)_attention\.1\.conv\.weight",
+         "psa_layer \\1 att_out conv", "conv"),
+        (r"psa_layer\.proj\.conv\.weight", "psa_layer proj conv", "conv"),
+        (r"psa_layer\.proj\.bn\.(.+)", "psa_layer proj bn @bn\\1", "bn"),
+        (r"psa_layer\.conv6\.0\.conv\.weight", "psa_layer conv6_cbr conv",
+         "conv"),
+        (r"psa_layer\.conv6\.0\.bn\.(.+)", "psa_layer conv6_cbr bn @bn\\1",
+         "bn"),
+        (r"psa_layer\.conv6\.2\.weight", "psa_layer conv6_out", "conv"),
+        (r"psa_layer\.conv6\.2\.bias", "psa_layer conv6_out", "bias"),
+        (r"aux_layer\.0\.conv\.weight", "aux_layer cbr conv", "conv"),
+        (r"aux_layer\.0\.bn\.(.+)", "aux_layer cbr bn @bn\\1", "bn"),
+        (r"aux_layer\.2\.weight", "aux_layer out", "conv"),
+        (r"aux_layer\.2\.bias", "aux_layer out", "bias"),
+    ],
+    "dfn": [
+        (r"backbone\.(.+)", "@resnet \\1", None),
+        (r"global_context\.1\.conv\.weight", "global_context conv", "conv"),
+        (r"global_context\.1\.bn\.(.+)", "global_context bn @bn\\1", "bn"),
+        (r"(smooth_pre_rrb|smooth_aft_rrb|border_pre_rrb|border_aft_rrb)s"
+         r"\.(\d)\.conv_1x1\.weight", "\\1\\2 conv_1x1", "conv"),
+        (r"(smooth_pre_rrb|smooth_aft_rrb|border_pre_rrb|border_aft_rrb)s"
+         r"\.(\d)\.cbr\.conv\.weight", "\\1\\2 cbr conv", "conv"),
+        (r"(smooth_pre_rrb|smooth_aft_rrb|border_pre_rrb|border_aft_rrb)s"
+         r"\.(\d)\.cbr\.bn\.(.+)", "\\1\\2 cbr bn @bn\\3", "bn"),
+        (r"(smooth_pre_rrb|smooth_aft_rrb|border_pre_rrb|border_aft_rrb)s"
+         r"\.(\d)\.conv_refine\.weight", "\\1\\2 conv_refine", "conv"),
+        (r"cabs\.(\d)\.channel_attention\.fc\.0\.weight", "cab\\1 se fc1",
+         "linear"),
+        (r"cabs\.(\d)\.channel_attention\.fc\.0\.bias", "cab\\1 se fc1",
+         "bias"),
+        (r"cabs\.(\d)\.channel_attention\.fc\.2\.weight", "cab\\1 se fc2",
+         "linear"),
+        (r"cabs\.(\d)\.channel_attention\.fc\.2\.bias", "cab\\1 se fc2",
+         "bias"),
+        (r"(smooth_head|border_head)s\.(\d)\.rrb\.conv_1x1\.weight",
+         "\\1\\2 rrb conv_1x1", "conv"),
+        (r"(smooth_head|border_head)s\.(\d)\.rrb\.cbr\.conv\.weight",
+         "\\1\\2 rrb cbr conv", "conv"),
+        (r"(smooth_head|border_head)s\.(\d)\.rrb\.cbr\.bn\.(.+)",
+         "\\1\\2 rrb cbr bn @bn\\3", "bn"),
+        (r"(smooth_head|border_head)s\.(\d)\.rrb\.conv_refine\.weight",
+         "\\1\\2 rrb conv_refine", "conv"),
+        (r"(smooth_head|border_head)s\.(\d)\.conv\.weight", "\\1\\2 conv",
+         "conv"),
+        (r"(smooth_head|border_head)s\.(\d)\.conv\.bias", "\\1\\2 conv",
+         "bias"),
+    ],
+}
+# X39 BiSeNet: same head rules, xception backbone
+_MODEL_RULES["bisenet_x39"] = [
+    (r"context_path\.(.+)", "@xception \\1", None)
+] + _MODEL_RULES["bisenet"][1:]
+
+
+def map_model_key(torch_key: str, family: str):
+    """-> (path_tuple, kind) into our variables tree, or None to skip.
+
+    BN paths end with the torch leaf name; the caller resolves it via
+    _BN_LEAF into params(scale/bias) or batch_stats(mean/var).
+    """
+    if torch_key.endswith("num_batches_tracked"):
+        return None
+    for pattern, template, kind in _MODEL_RULES[family]:
+        m = re.fullmatch(pattern, torch_key)
+        if not m:
+            continue
+        out = m.expand(template)
+        parts = tuple(out.split(" "))
+        if parts[0] == "@resnet":
+            path, k2 = resnet_key_map(parts[1])
+            if k2 == "skip":
+                return None
+            return ("backbone",) + path, k2
+        if parts[0] == "@xception":
+            sub = xception_key_map(parts[1])
+            if sub is None:
+                return None
+            path, k2 = sub
+            if k2 == "bn":
+                leaf = path[-1]
+                if leaf.endswith("num_batches_tracked"):
+                    return None
+                return ("backbone",) + path, "bn"
+            return ("backbone",) + path, k2
+        # strip the @bn marker: the trailing component is the torch BN leaf
+        parts = tuple(p[3:] if p.startswith("@bn") else p for p in parts)
+        return parts, kind
+    return None
+
+
+def convert_model_state_dict(sd: Dict[str, np.ndarray], family: str):
+    """Full torch network state_dict -> (params, batch_stats) trees in our
+    naming scheme.  Unknown keys are skipped (graft() reports them)."""
+    params, stats = {}, {}
+    for k, v in sd.items():
+        mapped = map_model_key(k, family)
+        if mapped is None:
+            continue
+        path, kind = mapped
+        if kind == "conv":
+            _set(params, path + ("kernel",), np.transpose(v, (2, 3, 1, 0)))
+        elif kind == "dwconv":
+            _set(params, path + ("kernel",), np.transpose(v, (2, 3, 1, 0)))
+        elif kind == "linear":
+            _set(params, path + ("kernel",), np.transpose(v, (1, 0)))
+        elif kind == "bias":
+            _set(params, path + ("bias",), v)
+        elif kind in ("bn", "bn_param", "bn_stat"):
+            leaf = path[-1]
+            where, new_leaf = _BN_LEAF[leaf] if kind == "bn" else (
+                ("params", "scale" if k.endswith("weight") else "bias")
+                if kind == "bn_param"
+                else ("stats", "mean" if k.endswith("running_mean") else "var")
+            )
+            base = path[:-1] if kind == "bn" else path
+            tree = params if where == "params" else stats
+            _set(tree, base + (new_leaf,), v)
+    return params, stats
+
+
+def graft_full_checkpoint(path_or_sd, variables, family: str):
+    """Graft a full reference network checkpoint into our variables dict
+    ({'params':..., 'batch_stats':...}); returns the new variables."""
+    sd = _to_numpy_state_dict(path_or_sd)
+    src_params, src_stats = convert_model_state_dict(sd, family)
+    return {
+        "params": graft(variables["params"], src_params),
+        "batch_stats": graft(variables["batch_stats"], src_stats),
+    }
