@@ -73,6 +73,9 @@ def build_argparser():
                    help="evaluate N synthetic images (smoke)")
     p.add_argument("--msf", action="store_true",
                    help="multi-scale + flip TTA protocol")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="evaluate a reference torch .pth directly (full-model "
+                        "key grafting, utils/torch_convert.py)")
     p.add_argument("-speed", "--speed", action="store_true",
                    help="run the FPS benchmark instead of accuracy eval")
     p.add_argument("--summary", action="store_true",
@@ -168,6 +171,33 @@ def main(argv=None):
     os.makedirs(log_dir, exist_ok=True)
     results = []
     ev = None
+
+    if args.torch_checkpoint:
+        from .utils.torch_convert import graft_full_checkpoint
+
+        family = cfg.model.split("_")[0]
+        if cfg.model == "bisenet_x39":
+            family = "bisenet_x39"
+        variables = graft_full_checkpoint(
+            args.torch_checkpoint,
+            {"params": template_vars["params"],
+             "batch_stats": template_vars["batch_stats"]},
+            family,
+        )
+        ev = make_evaluator(cfg, variables, msf=args.msf)
+        acc = evaluate_checkpoint(cfg, variables, dataset, args.save_path,
+                                  msf=args.msf, ev=ev)
+        iou, miou, _, pixacc = acc.scores()
+        names = (DATASETS[cfg.dataset].get_class_names()
+                 if not args.synthetic else None)
+        table = print_iou(iou, pixacc, names,
+                          show_no_back=cfg.dataset != "cityscapes")
+        line = f"== torch ckpt: mIoU {miou * 100:.2f} ==\n{table}\n"
+        logger.info("\n%s", line)
+        with open(val_log, "a") as f:
+            f.write(line)
+        return [("torch", miou)]
+
     for path in parse_epochs(str(args.epochs), snapshot_dir):
         state, epoch, _ = restore_checkpoint(path, template)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
