@@ -156,12 +156,17 @@ def main(argv=None):
     model = build_model(cfg, axis_name=None)
     import jax
 
-    dummy = jnp.zeros((1, cfg.image_height, cfg.image_width, 3))
-    template_vars = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        dummy,
-        train=True,
-    )
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    try:
+        # params are shape-independent: init at a tiny size for speed
+        template_vars = model.init(rngs, jnp.zeros((1, 64, 128, 3)),
+                                   train=True)
+    except AssertionError:
+        # PSANet asserts H*W == att_channels at ÷8: init at the train crop
+        template_vars = model.init(
+            rngs, jnp.zeros((1, cfg.image_height, cfg.image_width, 3)),
+            train=True,
+        )
     template = TrainState.create(template_vars)
 
     snapshot_dir = args.snapshot_dir or os.path.join(log_dir, "snapshot")
