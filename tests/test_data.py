@@ -186,3 +186,16 @@ def test_loader_early_exit_no_leak():
             break
         _t.sleep(0.1)
     assert threading.active_count() <= before + 1
+
+
+def test_camvid_pcontext_metadata():
+    from torchseg_tpu.data import CamVid, PascalContext
+
+    assert len(CamVid.get_class_names()) == 11
+    assert len(CamVid.get_class_colors()) == 11
+    gt = np.array([[0, 11], [5, 11]], np.uint8)
+    np.testing.assert_array_equal(
+        CamVid.remap_void(gt), [[0, 255], [5, 255]]
+    )
+    assert len(PascalContext.get_class_names()) == 59
+    assert len(PascalContext.get_class_colors()) == 60

@@ -122,3 +122,23 @@ def test_remat_backbone_gradients():
     a = jax.tree.leaves(g1)[0]
     b = jax.tree.leaves(g2)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_extension_experiments_build():
+    """CamVid / PASCAL-Context extension experiments construct and run."""
+    import dataclasses
+    from torchseg_tpu.experiments.registry import (
+        build_loss_fn,
+        build_model,
+        build_preprocess,
+        get_experiment,
+    )
+
+    for name, hw in [("camvid.bisenet.R18", 64), ("pcontext.pspnet.R101_v1c", 48)]:
+        cfg = get_experiment(name)
+        cfg = dataclasses.replace(cfg, image_height=hw, image_width=hw)
+        model = build_model(cfg, axis_name=None)
+        build_loss_fn(cfg, num_shards=1)
+        build_preprocess(cfg)
+        out = _run(model, jnp.zeros((1, hw, hw, 3)), train=False)
+        assert out.shape[-1] == cfg.num_classes

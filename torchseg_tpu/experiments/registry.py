@@ -13,7 +13,7 @@ import functools
 from typing import Optional, Sequence, Tuple
 
 from .. import models
-from ..data import ADE, Cityscapes, VOC
+from ..data import ADE, CamVid, Cityscapes, PascalContext, VOC
 from ..data.preprocess import ADETrainPre, DFNTrainPre, SegTrainPre
 from ..ops.losses import (
     CITYSCAPES_CLASS_WEIGHTS,
@@ -189,7 +189,37 @@ _register(ExperimentConfig(
     eval_base_size=512, eval_crop_size=512, eval_stride_rate=2 / 3,
 ))
 
-DATASETS = {"cityscapes": Cityscapes, "voc": VOC, "ade": ADE}
+# --- extensions beyond the reference code (its README claims CamVid and
+# PASCAL-Context support but ships neither; SURVEY.md preamble) -------------
+_register(ExperimentConfig(
+    name="camvid.bisenet.R18", model="bisenet_r18", dataset="camvid",
+    num_classes=11, ignore_label=255, loss="ohem",
+    image_height=720, image_width=960,
+    train_scale_array=(0.75, 1, 1.25, 1.5, 1.75, 2.0),
+    lr=1e-2, weight_decay=5e-4, batch_size=16, nepochs=80,
+    niters_per_epoch=23,  # ceil(367 / 16)
+    eval_mode="whole", eval_resize_to=(720, 960),
+    eval_base_size=720, eval_crop_size=720,
+))
+_register(ExperimentConfig(
+    name="pcontext.pspnet.R101_v1c", model="pspnet_r101", dataset="pcontext",
+    num_classes=59, ignore_label=-1, preprocess="ade",
+    image_height=480, image_width=480,
+    train_scale_array=(0.5, 0.75, 1, 1.5, 1.75, 2),
+    lr=1e-2, weight_decay=1e-4, batch_size=16, nepochs=120,
+    niters_per_epoch=312,  # ceil(4998 / 16)
+    loss="ce", aux_loss_ratio=0.4,
+    eval_base_size=480, eval_crop_size=480, eval_stride_rate=2 / 3,
+    eval_label_offset=-1,
+))
+
+DATASETS = {
+    "cityscapes": Cityscapes,
+    "voc": VOC,
+    "ade": ADE,
+    "camvid": CamVid,
+    "pcontext": PascalContext,
+}
 
 
 def get_experiment(name: str) -> ExperimentConfig:
