@@ -131,12 +131,17 @@ def test_dfn_train_step_with_aux_labels():
     cfg = get_experiment("cityscapes.dfn.R101_v1c")
     cfg = dataclasses.replace(
         cfg, image_height=32, image_width=32, batch_size=8,
-        model="dfn_r101",
     )
     mesh = make_data_mesh(jax.devices()[:8])
-    # a slim stand-in backbone width would be ideal; use the real model at
-    # tiny crops — slow but exercises the exact wiring
-    model = build_model(cfg, axis_name="data")
+    # slim backbone (r18) — same DFN wiring, minutes less CPU compile
+    import functools
+    from torchseg_tpu.models import DFN
+    from torchseg_tpu.models.resnet import resnet18
+    from torchseg_tpu.ops.norm import BatchNorm
+
+    norm = functools.partial(BatchNorm, axis_name="data")
+    model = DFN(cfg.num_classes, resnet18(norm=norm), smooth_inner=64,
+                norm=norm)
     loss_fn = build_loss_fn(cfg, num_shards=8)
     trainer = Trainer(model, loss_fn, PolyLR(cfg.lr, cfg.lr_power, 100),
                       sgd_momentum=cfg.momentum, mesh=mesh)
@@ -160,7 +165,19 @@ def test_pspnet_train_step_with_dropout():
         cfg, image_height=48, image_width=48, batch_size=8,
     )
     mesh = make_data_mesh(jax.devices()[:8])
-    model = build_model(cfg, axis_name="data")
+    # slim backbone (dilated r18) — same PPM/dropout/log-softmax wiring
+    import functools
+    from torchseg_tpu.models import PSPNet
+    from torchseg_tpu.models.resnet import resnet18
+    from torchseg_tpu.ops.norm import BatchNorm
+
+    norm = functools.partial(BatchNorm, axis_name="data")
+    model = PSPNet(
+        cfg.num_classes,
+        resnet18(norm=norm, layer_strides=(1, 2, 1, 1),
+                 layer_dilations=(1, 1, 2, 4)),
+        norm=norm,
+    )
     loss_fn = build_loss_fn(cfg, num_shards=8)
     trainer = Trainer(model, loss_fn, PolyLR(cfg.lr, cfg.lr_power, 100),
                       sgd_momentum=cfg.momentum, mesh=mesh)
