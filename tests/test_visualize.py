@@ -29,3 +29,21 @@ def test_parse_devices():
     assert parse_devices("0-3") == [0, 1, 2, 3]
     assert parse_devices("0,2,5") == [0, 2, 5]
     assert parse_devices("*") == list(range(len(jax.devices())))
+
+
+def test_parse_epochs(tmp_path):
+    from torchseg_tpu.eval import parse_epochs
+
+    for e in (3, 5, 7):
+        (tmp_path / f"epoch-{e}.ckpt").write_bytes(b"x")
+    (tmp_path / "epoch-last.ckpt").write_bytes(b"x")
+    assert parse_epochs("5", str(tmp_path)) == [str(tmp_path / "epoch-5.ckpt")]
+    assert parse_epochs("3-7", str(tmp_path)) == [
+        str(tmp_path / f"epoch-{e}.ckpt") for e in (3, 5, 7)
+    ]
+    assert parse_epochs("5-", str(tmp_path)) == [
+        str(tmp_path / f"epoch-{e}.ckpt") for e in (5, 7)
+    ]
+    assert parse_epochs("last", str(tmp_path)) == [
+        str(tmp_path / "epoch-last.ckpt")
+    ]

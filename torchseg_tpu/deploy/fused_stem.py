@@ -62,7 +62,7 @@ def _fused_stem(variables, x, eps: float = 1e-5):
     )
     out = jnp.maximum(out * a + b, 0)
     n = k_sp.shape[-1]
-    return out[..., :n], out[..., n:]
+    return out[..., :n], out[..., n:], None
 
 
 def prepare_s2d_input(img: "np_or_jnp", dtype=jnp.bfloat16):
@@ -78,7 +78,7 @@ def prepare_s2d_input(img: "np_or_jnp", dtype=jnp.bfloat16):
     return jnp.asarray(xs, dtype)
 
 
-def _fused_stem_s2d(variables, xs, eps: float = 1e-5):
+def _fused_stem_s2d(variables, xs, eps: float = 1e-5, pool: bool = False):
     """Both stems as ONE 4x4 stride-1 conv over s2d input (see ops/s2d.py
     for the exact kernel transform).  Measured on v5e: the s2d-input conv
     needs no im2col relayout (1.18 ms vs 1.2 + 0.8 ms), but the s2d
@@ -112,7 +112,15 @@ def _fused_stem_s2d(variables, xs, eps: float = 1e-5):
     )
     out = jnp.maximum(out * a + b, 0)
     n = k_sp.shape[-1]
-    return out[..., :n], out[..., n:]
+    if pool:
+        # pool the backbone half here so each stem half has exactly one
+        # consumer layout downstream
+        from flax import linen as nn
+
+        bb = nn.max_pool(out[..., n:], (3, 3), strides=(2, 2),
+                         padding=[(1, 1), (1, 1)])
+        return out[..., :n], None, bb
+    return out[..., :n], out[..., n:], None
 
 
 def make_bisenet_fused_infer(model, variables, bn_eps: float = 1e-5,

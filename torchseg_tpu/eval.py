@@ -76,6 +76,9 @@ def build_argparser():
     p.add_argument("--torch-checkpoint", default=None,
                    help="evaluate a reference torch .pth directly (full-model "
                         "key grafting, utils/torch_convert.py)")
+    p.add_argument("-d", "--devices", default=None,
+                   help="local device selection, e.g. '0-3' or '*' "
+                        "(reference eval.py -d)")
     p.add_argument("-speed", "--speed", action="store_true",
                    help="run the FPS benchmark instead of accuracy eval")
     p.add_argument("--summary", action="store_true",
@@ -85,7 +88,7 @@ def build_argparser():
     return p
 
 
-def make_evaluator(cfg, variables, msf=False):
+def make_evaluator(cfg, variables, msf=False, devices=None):
     model = build_model(cfg, axis_name=None)
 
     def apply_fn(v, x):
@@ -101,6 +104,7 @@ def make_evaluator(cfg, variables, msf=False):
         is_flip=True if msf else cfg.eval_flip,
         crop_size=cfg.eval_crop_size,
         stride_rate=cfg.eval_stride_rate,
+        devices=devices,
     )
 
 
@@ -174,6 +178,13 @@ def main(argv=None):
         log_dir, f"val_{time.strftime('%Y_%m_%d_%H_%M_%S')}.log"
     )
     os.makedirs(log_dir, exist_ok=True)
+    devices = None
+    if args.devices:
+        from .utils.misc import parse_devices
+
+        all_dev = jax.devices()
+        devices = [all_dev[i] for i in parse_devices(args.devices)
+                   if i < len(all_dev)]
     results = []
     ev = None
 
@@ -189,7 +200,7 @@ def main(argv=None):
              "batch_stats": template_vars["batch_stats"]},
             family,
         )
-        ev = make_evaluator(cfg, variables, msf=args.msf)
+        ev = make_evaluator(cfg, variables, msf=args.msf, devices=devices)
         acc = evaluate_checkpoint(cfg, variables, dataset, args.save_path,
                                   msf=args.msf, ev=ev)
         iou, miou, _, pixacc = acc.scores()
@@ -207,7 +218,8 @@ def main(argv=None):
         state, epoch, _ = restore_checkpoint(path, template)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if ev is None:
-            ev = make_evaluator(cfg, variables, msf=args.msf)
+            ev = make_evaluator(cfg, variables, msf=args.msf,
+                                devices=devices)
         acc = evaluate_checkpoint(
             cfg, variables, dataset, args.save_path, msf=args.msf, ev=ev
         )

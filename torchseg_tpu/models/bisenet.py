@@ -103,13 +103,18 @@ class BiSeNet(nn.Module):
         the deploy-time fused stem — both 7x7/2 convs of the R18 variant run
         as ONE conv over the shared input (deploy/fused_stem.py)."""
         cc = self.conv_channel
-        sp_stem, bb_stem = stem_outs if stem_outs is not None else (None, None)
+        sp_stem, bb_stem, bb_pooled = (
+            stem_outs if stem_outs is not None else (None, None, None)
+        )
         spatial_out = SpatialPath(128, norm=self.norm, dtype=self.dtype,
                                   name="spatial_path")(
             x, train, stem_features=sp_stem
         )
 
-        context_blocks = list(self.backbone(x, train, stem_features=bb_stem))
+        context_blocks = list(
+            self.backbone(x, train, stem_features=bb_stem,
+                          stem_pooled=bb_pooled)
+        )
         context_blocks.reverse()  # [÷32, ÷16, ÷8, (÷4)]
 
         gc = jnp.mean(context_blocks[0], axis=(1, 2), keepdims=True)

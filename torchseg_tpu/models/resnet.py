@@ -151,13 +151,17 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, train: bool = False, stem_features=None
+        self, x, train: bool = False, stem_features=None,
+        stem_pooled=None,
     ) -> Tuple[jnp.ndarray, ...]:
         """stem_features: precomputed post-stem (post conv1/bn1/relu, pre
-        maxpool) activations — the deploy-time fused-stem path
-        (deploy/fused_stem.py) computes them jointly with other stems."""
+        maxpool) activations; stem_pooled: post-maxpool activations — the
+        deploy-time fused-stem path (deploy/fused_stem.py) computes these
+        jointly with other stems."""
         norm = lambda name: self.norm(dtype=self.dtype, name=name)
-        if stem_features is not None:
+        if stem_pooled is not None:
+            x = stem_pooled
+        elif stem_features is not None:
             x = stem_features
         else:
             if self.deep_stem:
@@ -176,7 +180,9 @@ class ResNet(nn.Module):
                 x = _stem_conv(x, 64, 7, 2, "conv1", self.dtype)
             x = norm("bn1")(x, use_running_average=not train)
             x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if stem_pooled is None:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=[(1, 1), (1, 1)])
 
         inplanes = self.stem_width * 2 if self.deep_stem else 64
         planes = (64, 128, 256, 512)

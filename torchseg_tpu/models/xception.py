@@ -94,15 +94,19 @@ class Xception(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, train: bool = False, stem_features=None
+        self, x, train: bool = False, stem_features=None, stem_pooled=None
     ) -> Tuple[jnp.ndarray, ...]:
-        if stem_features is not None:
-            x = stem_features  # precomputed post-conv1 activations
+        if stem_pooled is not None:
+            x = stem_pooled  # precomputed post-maxpool activations
         else:
-            x = ConvBnRelu(
-                8, 3, 2, 1, norm=self.norm, dtype=self.dtype, name="conv1"
-            )(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+            if stem_features is not None:
+                x = stem_features  # precomputed post-conv1 activations
+            else:
+                x = ConvBnRelu(
+                    8, 3, 2, 1, norm=self.norm, dtype=self.dtype, name="conv1"
+                )(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=[(1, 1), (1, 1)])
 
         feats = []
         for li, (blocks, mid) in enumerate(zip(self.layers, self.channels)):
