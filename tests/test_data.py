@@ -199,3 +199,28 @@ def test_camvid_pcontext_metadata():
     )
     assert len(PascalContext.get_class_names()) == 59
     assert len(PascalContext.get_class_colors()) == 60
+
+
+def test_native_preprocess_matches_cv2():
+    """SegTrainPre native path vs cv2 path with identical rng streams."""
+    from torchseg_tpu import native
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    mean = np.array([0.485, 0.456, 0.406])
+    std = np.array([0.229, 0.224, 0.225])
+    kw = dict(crop_size=32, train_scale_array=[0.75, 1.0, 1.5])
+    pre_nat = SegTrainPre(mean, std, use_native=True, **kw)
+    pre_cv = SegTrainPre(mean, std, use_native=False, **kw)
+    assert pre_nat._native is not None and pre_cv._native is None
+
+    img = np.random.default_rng(1).integers(0, 255, (41, 53, 3)).astype(np.uint8)
+    gt = np.random.default_rng(2).integers(0, 19, (41, 53)).astype(np.uint8)
+    for seed in range(4):
+        a_img, a_gt, _ = pre_nat(np.random.default_rng(seed), img, gt)
+        b_img, b_gt, _ = pre_cv(np.random.default_rng(seed), img, gt)
+        assert a_img.shape == b_img.shape == (32, 32, 3)
+        # resize rounding: native vs cv2 fixed-point differ by <=1 uint8 ulp
+        np.testing.assert_allclose(a_img, b_img, atol=2.5 / 255 / std.min())
+        agree = (a_gt == b_gt).mean()
+        assert agree > 0.97, agree  # nearest-neighbor boundary rounding
