@@ -63,6 +63,9 @@ def build_argparser():
                         "(uniform-size datasets, e.g. Cityscapes)")
     p.add_argument("--pretrained", default=None,
                    help="torch .pth backbone checkpoint to graft")
+    p.add_argument("--orbax", action="store_true",
+                   help="async preemption-safe Orbax checkpointing "
+                        "(engine/checkpoint_orbax.py) instead of msgpack")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator address for "
                         "jax.distributed.initialize")
@@ -180,7 +183,17 @@ def main(argv=None):
 
     start_epoch = 0
     snapshot_dir = os.path.join(args.log_dir, cfg.name, "snapshot")
-    if args.continue_from:
+    orbax_ck = None
+    if args.orbax:
+        from .engine.checkpoint_orbax import OrbaxCheckpointer
+
+        orbax_ck = OrbaxCheckpointer(snapshot_dir + "-orbax", keep=20)
+        if args.continue_from == "orbax" and orbax_ck.latest_step() is not None:
+            saved_epoch = orbax_ck.latest_step()
+            state = orbax_ck.restore(state, saved_epoch)
+            start_epoch = saved_epoch + 1
+            logger.info("orbax: resumed at epoch %d", start_epoch)
+    if args.continue_from and args.continue_from != "orbax":
         state, saved_epoch, _ = restore_checkpoint(args.continue_from, state)
         start_epoch = saved_epoch + 1
         logger.info("restored %s, resuming at epoch %d", args.continue_from,
@@ -215,8 +228,15 @@ def main(argv=None):
         if jax.process_index() == 0 and (
             epoch > nepochs - 20 or epoch % cfg.snapshot_iter == 0
         ):
-            path = save_checkpoint(snapshot_dir, state, epoch)
-            logger.info("saved %s", path)
+            if orbax_ck is not None:
+                orbax_ck.save(epoch, state)  # async
+                logger.info("orbax: saved epoch %d (async)", epoch)
+            else:
+                path = save_checkpoint(snapshot_dir, state, epoch)
+                logger.info("saved %s", path)
+    if orbax_ck is not None:
+        orbax_ck.wait()
+        orbax_ck.close()
     return state
 
 
