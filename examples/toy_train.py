@@ -122,9 +122,10 @@ def main(argv=None):
     batch0 = {k: jnp.asarray(v) for k, v in first.items()
               if isinstance(v, np.ndarray)}
     state = trainer.init_state(jax.random.PRNGKey(0), batch0)
-    trainer.lr_mult = make_lr_mult_tree(state.params, 10.0)
-    trainer.wd = make_wd_tree(state.params, 5e-4)
-    trainer._step_fn = trainer._build_step()
+    trainer.configure_groups(
+        make_lr_mult_tree(state.params, 10.0),
+        make_wd_tree(state.params, 5e-4),
+    )
 
     def evaluate(state):
         ev = Evaluator(

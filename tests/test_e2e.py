@@ -64,9 +64,10 @@ def test_bisenet_ohem_train_and_resume():
     loader.set_epoch(0)
     batches = [_jnp_batch(b) for b in loader]
     state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
-    trainer.lr_mult = make_lr_mult_tree(state.params, cfg.business_lr_mult)
-    trainer.wd = make_wd_tree(state.params, cfg.weight_decay)
-    trainer._step_fn = trainer._build_step()
+    trainer.configure_groups(
+        make_lr_mult_tree(state.params, cfg.business_lr_mult),
+        make_wd_tree(state.params, cfg.weight_decay),
+    )
 
     losses = []
     mid_state = None

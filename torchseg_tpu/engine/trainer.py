@@ -81,6 +81,7 @@ class Trainer:
         self.wd = wd
         self.mesh = mesh if mesh is not None else make_data_mesh()
         self.axis = axis
+        self.donate = donate
         self._step_fn = self._build_step()
 
     # ------------------------------------------------------------------
@@ -93,10 +94,15 @@ class Trainer:
             train=True,
         )
         state = TrainState.create(variables)
-        if self.lr_mult is not None or self.wd is not None:
-            pass  # trees already built by caller against these params
         sharding = NamedSharding(self.mesh, P())
         return jax.device_put(state, sharding)
+
+    def configure_groups(self, lr_mult=None, wd=None):
+        """Set the per-leaf lr-multiplier / weight-decay trees (built against
+        realized params, see engine.optim) and rebuild the step."""
+        self.lr_mult = lr_mult
+        self.wd = wd
+        self._step_fn = self._build_step()
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -151,7 +157,8 @@ class Trainer:
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        return jax.jit(sharded, donate_argnums=(0,))
+        donate = (0,) if self.donate else ()
+        return jax.jit(sharded, donate_argnums=donate)
 
     # ------------------------------------------------------------------
     def train_step(self, state: TrainState, batch, dropout_rng):

@@ -170,9 +170,10 @@ def main(argv=None):
     state = trainer.init_state(jax.random.PRNGKey(args.seed), batch_jnp)
 
     # param groups need the realized params
-    trainer.lr_mult = make_lr_mult_tree(state.params, cfg.business_lr_mult)
-    trainer.wd = make_wd_tree(state.params, cfg.weight_decay)
-    trainer._step_fn = trainer._build_step()
+    trainer.configure_groups(
+        make_lr_mult_tree(state.params, cfg.business_lr_mult),
+        make_wd_tree(state.params, cfg.weight_decay),
+    )
 
     if args.pretrained:
         from .utils.torch_convert import graft_torch_checkpoint
