@@ -127,3 +127,18 @@ def test_multidevice_eval_matches_single():
     accn = evn.run_dataset(ds, mode="whole", process_index=0, process_count=1)
     np.testing.assert_array_equal(acc1.hist, accn.hist)
     assert acc1.labeled == accn.labeled and acc1.correct == accn.correct
+
+
+def test_device_score_resize_matches_cv2():
+    """jax.image.resize 'linear' (used for on-device score resize) must match
+    cv2.INTER_LINEAR (the reference's score resize, evaluator.py:249-253)."""
+    import cv2
+    import jax
+
+    rng = np.random.default_rng(11)
+    score = rng.normal(size=(13, 17, 5)).astype(np.float32)
+    want = cv2.resize(score, (40, 30), interpolation=cv2.INTER_LINEAR)
+    got = np.asarray(
+        jax.image.resize(jnp.asarray(score), (30, 40, 5), method="linear")
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -78,6 +78,10 @@ class Evaluator:
     def _forward(self, batch_nhwc: np.ndarray) -> np.ndarray:
         """Batched forward with optional flip TTA; returns exp-combined scores
         as float32 numpy (B,H,W,C)."""
+        return np.asarray(self._forward_dev(jnp.asarray(batch_nhwc)))
+
+    def _forward_dev(self, batch_nhwc):
+        """Like _forward but keeps the result on device."""
         shape = batch_nhwc.shape
         fn = self._jit_cache.get(shape)
         if fn is None:
@@ -97,7 +101,7 @@ class Evaluator:
 
             fn = run
             self._jit_cache[shape] = fn
-        return np.asarray(fn(self.variables, jnp.asarray(batch_nhwc)))
+        return fn(self.variables, batch_nhwc)
 
     def _grid_fn(self, pad_shape, n_crops, crop_size):
         """Jitted device pipeline for one sliding-scale: extract the crop
@@ -112,9 +116,24 @@ class Evaluator:
         flip = self.is_flip
         cs = crop_size
         nc = self.num_classes
+        mean = jnp.asarray(self.image_mean, jnp.float32)
+        std = jnp.asarray(self.image_std, jnp.float32)
 
         @jax.jit
-        def run(variables, norm_img, coords):
+        def run(variables, img_u8, coords, margin):
+            # normalize on device: the host ships uint8 (4x less H2D);
+            # the reference pads AFTER normalize with 0 (:241), so the pad
+            # margins are masked back to exactly 0 here
+            norm_img = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
+            h, w = norm_img.shape[:2]
+            rows = jnp.arange(h)[:, None]
+            cols = jnp.arange(w)[None, :]
+            inside = (
+                (rows >= margin[0]) & (rows < h - margin[1])
+                & (cols >= margin[2]) & (cols < w - margin[3])
+            )
+            norm_img = jnp.where(inside[:, :, None], norm_img, 0.0)
+
             def extract(k, _):
                 y, x = coords[k, 0], coords[k, 1]
                 return jax.lax.dynamic_slice(norm_img, (y, x, 0), (cs, cs, 3))
@@ -184,19 +203,50 @@ class Evaluator:
             )
         return score.argmax(2)
 
-    def scale_process(self, img, ori_shape, crop_size, stride_rate):
+    def _finish_fn(self, in_shape, margin, ori_shape):
+        """Jitted unpad + linear resize to ori_shape, on device (the
+        reference's cv2.INTER_LINEAR score resize, :249-253 — jax.image
+        'linear' uses the same half-pixel convention)."""
+        key = ("finish", in_shape, tuple(int(m) for m in margin), ori_shape)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            t, b, l, r = (int(m) for m in margin)
+            oh, ow = ori_shape
+
+            @jax.jit
+            def run(score):
+                score = score[t : score.shape[0] - b,
+                              l : score.shape[1] - r]
+                if score.shape[:2] != (oh, ow):
+                    score = jax.image.resize(
+                        score, (oh, ow, score.shape[2]), method="linear"
+                    )
+                return score
+
+            fn = run
+            self._jit_cache[key] = fn
+        return fn
+
+    def _argmax_fn(self):
+        fn = self._jit_cache.get("argmax")
+        if fn is None:
+            fn = jax.jit(lambda s: jnp.argmax(s, axis=-1).astype(jnp.int32))
+            self._jit_cache["argmax"] = fn
+        return fn
+
+    def scale_process(self, img, ori_shape, crop_size, stride_rate,
+                      device_out: bool = False):
         """One scale of the sliding protocol (:202-253).  Returns HWC scores
-        resized to ori_shape."""
+        resized to ori_shape (on device when device_out, avoiding the
+        score-canvas D2H — 160 MB/image on Cityscapes)."""
         new_rows, new_cols = img.shape[:2]
         long_size = max(new_rows, new_cols)
 
         if long_size <= crop_size:
             input_data, margin = self.process_image(img, crop_size)
-            score = self._forward(input_data[None])[0]
-            score = score[
-                margin[0] : score.shape[0] - margin[1],
-                margin[2] : score.shape[1] - margin[3],
-            ]
+            raw = self._forward_dev(
+                jnp.asarray(input_data, jnp.float32)[None]
+            )[0]
         else:
             stride = int(math.ceil(crop_size * stride_rate))
             img_pad, margin = pad_image_to_shape(img, crop_size, 0)
@@ -204,7 +254,10 @@ class Evaluator:
             r_grid = int(math.ceil((pad_rows - crop_size) / stride)) + 1
             c_grid = int(math.ceil((pad_cols - crop_size) / stride)) + 1
 
-            norm_img = self.process_image(img_pad)
+            if img_pad.ndim == 2:
+                img_pad = img_pad[:, :, None]
+            if img_pad.shape[2] < 3:
+                img_pad = np.concatenate([img_pad] * 3, axis=2)
             coords = []
             for gy in range(r_grid):
                 for gx in range(c_grid):
@@ -213,40 +266,35 @@ class Evaluator:
                     coords.append((e_y - crop_size, e_x - crop_size))
 
             run = self._grid_fn((pad_rows, pad_cols), len(coords), crop_size)
-            data_scale = np.asarray(
-                run(
-                    self.variables,
-                    jnp.asarray(norm_img, jnp.float32),
-                    jnp.asarray(coords, jnp.int32),
-                )
+            raw = run(
+                self.variables,
+                jnp.asarray(img_pad, jnp.uint8),
+                jnp.asarray(coords, jnp.int32),
+                jnp.asarray(margin, jnp.int32),
             )
-            score = data_scale[
-                margin[0] : data_scale.shape[0] - margin[1],
-                margin[2] : data_scale.shape[1] - margin[3],
-            ]
 
-        if tuple(score.shape[:2]) != tuple(ori_shape):
-            score = cv2.resize(
-                score,
-                (ori_shape[1], ori_shape[0]),
-                interpolation=cv2.INTER_LINEAR,
-            )
-        return score
+        finish = self._finish_fn(raw.shape, margin, tuple(ori_shape))
+        score = finish(raw)
+        return score if device_out else np.asarray(score)
 
     def sliding_eval(self, img, crop_size=None, stride_rate=None):
-        """Multi-scale sliding-window prediction (:186-200)."""
+        """Multi-scale sliding-window prediction (:186-200).  The per-scale
+        unpad/resize, cross-scale sum, and final argmax all run on device —
+        only the (H, W) int32 prediction crosses back to the host."""
         crop_size = crop_size or self.crop_size
         stride_rate = stride_rate or self.stride_rate
         ori_rows, ori_cols = img.shape[:2]
-        processed = np.zeros((ori_rows, ori_cols, self.num_classes), np.float32)
+        total = None
         for s in self.multi_scales:
             img_scale = cv2.resize(
                 img, None, fx=s, fy=s, interpolation=cv2.INTER_LINEAR
             )
-            processed += self.scale_process(
-                img_scale, (ori_rows, ori_cols), crop_size, stride_rate
+            score = self.scale_process(
+                img_scale, (ori_rows, ori_cols), crop_size, stride_rate,
+                device_out=True,
             )
-        return processed.argmax(2)
+            total = score if total is None else total + score
+        return np.asarray(self._argmax_fn()(total))
 
     # ------------------------------------------------------------------
     # dataset loop
