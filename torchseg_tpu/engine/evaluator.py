@@ -179,29 +179,65 @@ class Evaluator:
             return p_img, margin
         return p_img
 
+    def _whole_fn(self, in_shape, margin, output_size):
+        """Jitted uint8 -> normalize -> forward(+flip) -> unpad -> resize ->
+        argmax, fully on device (only the int32 prediction returns)."""
+        key = ("whole", in_shape, margin, output_size)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        flip = self.is_flip
+        mean = jnp.asarray(self.image_mean, jnp.float32)
+        std = jnp.asarray(self.image_std, jnp.float32)
+
+        @jax.jit
+        def run(variables, img_u8):
+            x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
+            if margin is not None:
+                t, b, l, r = margin
+                h, w = x.shape[:2]
+                rows = jnp.arange(h)[:, None]
+                cols = jnp.arange(w)[None, :]
+                inside = ((rows >= t) & (rows < h - b)
+                          & (cols >= l) & (cols < w - r))
+                x = jnp.where(inside[:, :, None], x, 0.0)
+            x = x[None]
+            if flip:
+                xb = jnp.concatenate([x, x[:, :, ::-1, :]])
+                s = self.apply_fn(variables, xb).astype(jnp.float32)
+                score = (s[0] + s[1][:, ::-1, :])
+            else:
+                score = self.apply_fn(variables, x)[0].astype(jnp.float32)
+            score = jnp.exp(score)
+            if margin is not None:
+                t, b, l, r = margin
+                score = score[t : score.shape[0] - b,
+                              l : score.shape[1] - r]
+            if output_size is not None and score.shape[:2] != output_size:
+                score = jax.image.resize(
+                    score, (*output_size, score.shape[2]), method="linear"
+                )
+            return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+        self._jit_cache[key] = run
+        return run
+
     def whole_eval(self, img, output_size=None, input_size=None):
         """Single forward on the (optionally padded) image (:164-183).
         Returns argmax prediction at output_size (or input resolution)."""
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[2] < 3:
+            img = np.concatenate([img] * 3, axis=2)
         if input_size is not None:
-            p_img, margin = self.process_image(img, input_size)
+            img, margin = pad_image_to_shape(img, input_size, 0)
+            margin = tuple(int(m) for m in margin)
         else:
-            p_img = self.process_image(img)
             margin = None
-        score = self._forward(p_img[None])[0]
-        if margin is not None:
-            score = score[
-                margin[0] : score.shape[0] - margin[1],
-                margin[2] : score.shape[1] - margin[3],
-            ]
-        if output_size is not None and tuple(score.shape[:2]) != tuple(
-            output_size
-        ):
-            score = cv2.resize(
-                score,
-                (output_size[1], output_size[0]),
-                interpolation=cv2.INTER_LINEAR,
-            )
-        return score.argmax(2)
+        out = tuple(int(v) for v in output_size) if output_size is not None \
+            else None
+        fn = self._whole_fn(img.shape, margin, out)
+        return np.asarray(fn(self.variables, jnp.asarray(img, jnp.uint8)))
 
     def _finish_fn(self, in_shape, margin, ori_shape):
         """Jitted unpad + linear resize to ori_shape, on device (the
