@@ -174,3 +174,59 @@ def test_num_batches_tracked_skipped():
     assert map_model_key(
         "context_path.layer1.0.bn1.num_batches_tracked", "bisenet"
     ) is None
+
+
+def test_xception_separable_forward_parity():
+    """Depthwise-conv transpose convention: a torch separable block (depthwise
+    conv + pointwise conv + BN, xception structure) converted to our
+    SeparableConvBnRelu must match numerically."""
+    import torch
+
+    from torchseg_tpu.ops.blocks import SeparableConvBnRelu
+    from torchseg_tpu.utils.torch_convert import (
+        convert_model_state_dict,
+        graft,
+    )
+
+    cin, cout = 8, 16
+    torch.manual_seed(0)
+    dw = torch.nn.Conv2d(cin, cin, 3, 2, 1, groups=cin, bias=False)
+    pw = torch.nn.Conv2d(cin, cout, 1, bias=False)
+    bn = torch.nn.BatchNorm2d(cout).eval()
+    with torch.no_grad():
+        bn.running_mean.normal_()
+        bn.running_var.uniform_(0.5, 1.5)
+        bn.weight.normal_()
+        bn.bias.normal_()
+
+    # state dict keyed like xception layer1.0.residual_branch.0.*
+    sd = {
+        "context_path.layer1.0.residual_branch.0.conv1.weight":
+            dw.weight.detach().numpy(),
+        "context_path.layer1.0.residual_branch.0.point_wise_cbr.conv.weight":
+            pw.weight.detach().numpy(),
+    }
+    for leaf in ("weight", "bias", "running_mean", "running_var"):
+        sd[
+            "context_path.layer1.0.residual_branch.0.point_wise_cbr.bn."
+            + leaf
+        ] = getattr(bn, leaf).detach().numpy()
+    src_p, src_s = convert_model_state_dict(sd, "bisenet_x39")
+    sub_p = src_p["backbone"]["layer1_0"]["sep1"]
+    sub_s = src_s["backbone"]["layer1_0"]["sep1"]
+
+    mod = SeparableConvBnRelu(cout, 3, 2, 1, has_relu=False,
+                              depthwise_bn=False)
+    x = np.random.default_rng(0).normal(size=(1, 10, 12, cin)).astype(
+        np.float32
+    )
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = graft(jax.tree.map(np.asarray, variables["params"]), sub_p)
+    stats = graft(jax.tree.map(np.asarray, variables["batch_stats"]), sub_s)
+    got = np.asarray(
+        mod.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+    )
+    with torch.no_grad():
+        want = bn(pw(dw(torch.from_numpy(x).permute(0, 3, 1, 2))))
+        want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
