@@ -179,6 +179,39 @@ class Evaluator:
             return p_img, margin
         return p_img
 
+    def _single_fn(self, in_shape, margin):
+        """Jitted uint8 -> normalize (pad margins masked to 0) -> exp-forward
+        (+flip); returns the HWC score block on device (the single-crop
+        branch of scale_process, :206-212)."""
+        key = ("single", in_shape, margin)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        flip = self.is_flip
+        mean = jnp.asarray(self.image_mean, jnp.float32)
+        std = jnp.asarray(self.image_std, jnp.float32)
+        t, b, l, r = margin
+
+        @jax.jit
+        def run(variables, img_u8):
+            x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
+            h, w = x.shape[:2]
+            rows = jnp.arange(h)[:, None]
+            cols = jnp.arange(w)[None, :]
+            inside = ((rows >= t) & (rows < h - b)
+                      & (cols >= l) & (cols < w - r))
+            x = jnp.where(inside[:, :, None], x, 0.0)[None]
+            if flip:
+                xb = jnp.concatenate([x, x[:, :, ::-1, :]])
+                s = self.apply_fn(variables, xb).astype(jnp.float32)
+                score = s[0] + s[1][:, ::-1, :]
+            else:
+                score = self.apply_fn(variables, x)[0].astype(jnp.float32)
+            return jnp.exp(score)
+
+        self._jit_cache[key] = run
+        return run
+
     def _whole_fn(self, in_shape, margin, output_size):
         """Jitted uint8 -> normalize -> forward(+flip) -> unpad -> resize ->
         argmax, fully on device (only the int32 prediction returns)."""
@@ -279,10 +312,15 @@ class Evaluator:
         long_size = max(new_rows, new_cols)
 
         if long_size <= crop_size:
-            input_data, margin = self.process_image(img, crop_size)
-            raw = self._forward_dev(
-                jnp.asarray(input_data, jnp.float32)[None]
-            )[0]
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if img.shape[2] < 3:
+                img = np.concatenate([img] * 3, axis=2)
+            img_pad, margin = pad_image_to_shape(img, crop_size, 0)
+            single = self._single_fn(
+                img_pad.shape, tuple(int(m) for m in margin)
+            )
+            raw = single(self.variables, jnp.asarray(img_pad, jnp.uint8))
         else:
             stride = int(math.ceil(crop_size * stride_rate))
             img_pad, margin = pad_image_to_shape(img, crop_size, 0)
