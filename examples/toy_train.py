@@ -75,6 +75,9 @@ def main(argv=None):
     p.add_argument("--crop", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--device-augment", action="store_true",
+                   help="host only generates raw images; mirror/scale/crop/"
+                        "normalize run on the TPU (data/device_augment.py)")
     args = p.parse_args(argv)
 
     import jax
@@ -98,7 +101,17 @@ def main(argv=None):
     bs = args.batch_size - args.batch_size % n_dev or n_dev
 
     mean, std = np.zeros(3, np.float32), np.ones(3, np.float32)
-    pre = SegTrainPre(mean, std, args.crop, train_scale_array=(0.75, 1, 1.25))
+    device_aug = None
+    if args.device_augment:
+        from torchseg_tpu.data.device_augment import make_device_augment
+
+        pre = None  # host ships raw uint8; the TPU augments
+        device_aug = make_device_augment(
+            (args.crop, args.crop), (0.75, 1.0, 1.25), mean, std
+        )
+    else:
+        pre = SegTrainPre(mean, std, args.crop,
+                          train_scale_array=(0.75, 1, 1.25))
     train_ds = ShapesDataset(bs * args.steps, (args.crop, args.crop), pre)
     val_ds = ShapesDataset(16, (args.crop, args.crop), None, seed=99)
 
@@ -118,9 +131,16 @@ def main(argv=None):
     loader = TrainLoader(train_ds, bs, num_workers=4)
     loader.set_epoch(0)
     it = iter(loader)
-    first = next(it)
-    batch0 = {k: jnp.asarray(v) for k, v in first.items()
-              if isinstance(v, np.ndarray)}
+
+    def to_batch(raw, key):
+        b = {k: jnp.asarray(v) for k, v in raw.items()
+             if isinstance(v, np.ndarray)}
+        if device_aug is not None:
+            img, lab = device_aug(key, b["image"], b["label"])
+            b = {"image": img, "label": lab}
+        return b
+
+    batch0 = to_batch(next(it), jax.random.PRNGKey(42))
     state = trainer.init_state(jax.random.PRNGKey(0), batch0)
     trainer.configure_groups(
         make_lr_mult_tree(state.params, 10.0),
@@ -144,7 +164,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(1)
     batch = batch0
     while step < args.steps:
-        rng, k = jax.random.split(rng)
+        rng, k, ka = jax.random.split(rng, 3)
         state, loss, lr = trainer.train_step(state, batch, k)
         step += 1
         if step % 20 == 0 or step == args.steps:
@@ -153,8 +173,7 @@ def main(argv=None):
             nxt = next(it)
         except StopIteration:
             break
-        batch = {k2: jnp.asarray(v) for k2, v in nxt.items()
-                 if isinstance(v, np.ndarray)}
+        batch = to_batch(nxt, ka)
 
     miou1 = evaluate(state)
     print(f"final: val mIoU {miou1 * 100:.1f}%  (start {miou0 * 100:.1f}%)")
