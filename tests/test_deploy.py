@@ -48,3 +48,18 @@ def test_s2d_input_format_matches_plain():
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(plain), rtol=1e-4, atol=1e-5
     )
+
+
+def test_fused_infer_argmax_wrapper():
+    cfg = get_experiment("cityscapes.bisenet.R18.speed")
+    model = build_model(cfg, axis_name=None)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 64, 128, 3))
+    scores = model.apply(variables, x, train=False)
+    pred = make_bisenet_fused_infer(model, variables, cfg.bn_eps,
+                                    argmax=True)(x)
+    assert pred.dtype == jnp.int32
+    np.testing.assert_array_equal(
+        np.asarray(pred), np.asarray(jnp.argmax(scores, axis=-1))
+    )
