@@ -89,3 +89,21 @@ def test_batched_jit_runs():
     out_img2, _ = aug(jax.random.PRNGKey(1), jnp.asarray(imgs),
                       jnp.asarray(gts))
     assert not np.allclose(np.asarray(out_img), np.asarray(out_img2))
+
+
+def test_random_param_distributions():
+    """flip ~ Bernoulli(0.5); scale drawn uniformly from the array."""
+    from torchseg_tpu.data.device_augment import sample_params
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 400)
+    flips, scales = [], []
+    for k in keys:
+        p = sample_params(k, (64, 64), (32, 32), (0.75, 1.0, 1.25))
+        flips.append(bool(p.flip))
+        scales.append(float(p.scale))
+    assert 0.4 < np.mean(flips) < 0.6
+    import collections
+
+    counts = collections.Counter(scales)
+    assert set(counts) == {0.75, 1.0, 1.25}
+    assert min(counts.values()) > 400 / 3 * 0.6

@@ -142,3 +142,18 @@ def test_device_score_resize_matches_cv2():
         jax.image.resize(jnp.asarray(score), (30, 40, 5), method="linear")
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_run_dataset_saves_predictions(tmp_path):
+    import os
+
+    ds = SyntheticDataset(num_items=2, image_hw=(16, 16), num_classes=3)
+    ev = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD)
+    ev.run_dataset(ds, mode="whole", save_pred_dir=str(tmp_path),
+                   process_index=0, process_count=1)
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["0.png", "1.png"]
+    import cv2
+
+    pred = cv2.imread(str(tmp_path / "0.png"), cv2.IMREAD_GRAYSCALE)
+    assert pred.shape == (16, 16)
