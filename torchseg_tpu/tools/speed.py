@@ -57,6 +57,9 @@ def main(argv=None):
     p.add_argument("--f32", action="store_true")
     p.add_argument("--summary", action="store_true",
                    help="print per-module stats table too")
+    p.add_argument("--deploy", action="store_true",
+                   help="classic-stem BiSeNet only: fused-stem + s2d-input "
+                        "serving path (deploy/fused_stem.py)")
     args = p.parse_args(argv)
 
     import jax
@@ -83,6 +86,33 @@ def main(argv=None):
         from .stats import print_stats
 
         print_stats(build_model(cfg, axis_name=None), shape)
+
+    if args.deploy:
+        import jax.numpy as _jnp
+
+        from ..deploy.fused_stem import _fused_stem_s2d
+
+        b, h, w, _ = shape
+
+        class _DeployModel:
+            """model-like shim consuming the s2d serving input format
+            (1, H/2, W/2, 12); see deploy/prepare_s2d_input."""
+
+            @staticmethod
+            def apply(v, xs, train=False):
+                del train
+                stems = _fused_stem_s2d(v, xs, cfg.bn_eps)
+                dummy = _jnp.zeros((b, h, w, 3), xs.dtype)  # DCE'd
+                return model.apply(v, dummy, train=False, stem_outs=stems)
+
+        res = compute_speed(_DeployModel, variables,
+                            (b, h // 2, w // 2, 12), args.chain,
+                            args.reps, dtype)
+        print(
+            f"{args.experiment} [deploy] @ {args.input_size}: "
+            f"{res['ms_per_iter']:.3f} ms/iter, {res['fps']:.1f} FPS"
+        )
+        return res
 
     res = compute_speed(model, variables, shape, args.chain, args.reps, dtype)
     print(
