@@ -172,3 +172,31 @@ def test_ohem_approx_matches_exact_loss():
         )
     )
     assert approx == pytest.approx(exact, rel=2e-2)
+
+
+def test_registry_loss_builders_cover_variants():
+    """Loss builders: weighted OHEM knob and the FCN lr-world-scale flag."""
+    import dataclasses
+    import jax.numpy as jnp
+    from torchseg_tpu.experiments.registry import (
+        build_loss_fn,
+        get_experiment,
+    )
+
+    cfg = get_experiment("cityscapes.bisenet.R18")
+    cfg = dataclasses.replace(cfg, image_height=8, image_width=8,
+                              batch_size=2, ohem_use_weight=True)
+    loss_fn = build_loss_fn(cfg, num_shards=1)
+    rng = np.random.default_rng(0)
+    outs = {k: jnp.asarray(rng.normal(size=(2, 8, 8, 19)).astype(np.float32))
+            for k in ("aux0", "aux1", "main")}
+    batch = {"label": jnp.asarray(
+        rng.integers(0, 19, size=(2, 8, 8)).astype(np.int32))}
+    weighted = float(loss_fn(outs, batch))
+    cfg2 = dataclasses.replace(cfg, ohem_use_weight=False)
+    unweighted = float(build_loss_fn(cfg2, num_shards=1)(outs, batch))
+    assert np.isfinite(weighted) and np.isfinite(unweighted)
+    assert weighted != unweighted  # class weights change the loss
+
+    fcn = get_experiment("voc.fcn32s.R101_v1c")
+    assert fcn.lr_scale_by_world and fcn.business_lr_mult == 1.0
