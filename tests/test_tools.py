@@ -31,3 +31,15 @@ def test_compute_speed_runs():
                            train=True)
     res = compute_speed(model, variables, (1, 16, 16, 3), chain=4, reps=1)
     assert res["fps"] > 0
+
+
+def test_speed_deploy_guard_rejects_non_bisenet():
+    """--deploy requires the classic-stem BiSeNet param layout; anything
+    else must exit with an actionable message, not a KeyError."""
+    import pytest
+
+    from torchseg_tpu.tools.speed import main as speed_main
+
+    with pytest.raises(SystemExit, match="classic-stem BiSeNet"):
+        speed_main(["-e", "ade.pspnet.R50_v1c", "--input-size", "1x64x64x3",
+                    "--chain", "1", "--reps", "1", "--deploy"])

@@ -92,6 +92,16 @@ def main(argv=None):
 
         from ..deploy.fused_stem import _fused_stem_s2d
 
+        p = variables["params"]
+        if ("spatial_path" not in p
+                or "conv1" not in p.get("backbone", {})):
+            raise SystemExit(
+                f"--deploy needs a classic-stem BiSeNet experiment "
+                f"(spatial_path conv_7x7 + backbone conv1); "
+                f"'{args.experiment}' ({cfg.model}) has neither — "
+                f"run without --deploy."
+            )
+
         b, h, w, _ = shape
 
         class _DeployModel:
