@@ -107,3 +107,45 @@ def test_random_param_distributions():
     counts = collections.Counter(scales)
     assert set(counts) == {0.75, 1.0, 1.25}
     assert min(counts.values()) > 400 / 3 * 0.6
+
+
+def test_gt_down_sampling_matches_cv2_post_resize():
+    """gt_down composes the speed-variant label downsample (reference
+    model/bisenet/*.speed/dataloader.py:28-30): the coarse labels must equal
+    cv2.INTER_NEAREST applied to the full-res augmented labels."""
+    rng = np.random.default_rng(5)
+    hw, crop, k = (64, 96), (32, 64), 8
+    img = rng.integers(0, 256, (*hw, 3)).astype(np.uint8)
+    gt = rng.integers(0, 19, hw).astype(np.uint8)
+    for flip, scale, oy, ox in [
+        (False, 1.0, 3, 7),
+        (True, 1.5, 9, 2),
+        (False, 0.75, 0, 0),
+    ]:
+        params = AugmentParams(
+            jnp.asarray(flip), jnp.asarray(scale, jnp.float32),
+            jnp.asarray(oy), jnp.asarray(ox),
+        )
+        _, full = augment_sample(
+            jnp.asarray(img), jnp.asarray(gt), params, crop, MEAN, STD
+        )
+        _, coarse = augment_sample(
+            jnp.asarray(img), jnp.asarray(gt), params, crop, MEAN, STD,
+            gt_down=k,
+        )
+        want = cv2.resize(
+            np.asarray(full).astype(np.uint8),
+            (crop[1] // k, crop[0] // k),
+            interpolation=cv2.INTER_NEAREST,
+        )
+        np.testing.assert_array_equal(np.asarray(coarse), want)
+
+
+def test_make_device_augment_gt_down_shapes():
+    fn = make_device_augment((32, 64), (1.0,), MEAN, STD, gt_down=8)
+    imgs = np.zeros((2, 40, 70, 3), np.uint8)
+    gts = np.zeros((2, 40, 70), np.uint8)
+    out_img, out_gt = fn(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                         jnp.asarray(gts))
+    assert out_img.shape == (2, 32, 64, 3)
+    assert out_gt.shape == (2, 4, 8)

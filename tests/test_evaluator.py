@@ -157,3 +157,71 @@ def test_run_dataset_saves_predictions(tmp_path):
 
     pred = cv2.imread(str(tmp_path / "0.png"), cv2.IMREAD_GRAYSCALE)
     assert pred.shape == (16, 16)
+
+
+def _jax_linear_resize(score, hw):
+    import jax
+
+    return np.asarray(
+        jax.image.resize(jnp.asarray(score), (*hw, score.shape[2]),
+                         method="linear")
+    )
+
+
+def test_grid_branch_pad_semantics_match_reference():
+    """In the sliding GRID branch the reference pads the RAW image with 0
+    BEFORE normalizing each crop (evaluator.py:213-215 + process_image), so
+    the network sees (0-mean)/std in the pad margins.  Pin scale_process
+    against a numpy oracle of the reference math with a nonzero mean."""
+    import math
+
+    from torchseg_tpu.data.transforms import pad_image_to_shape
+
+    mean = np.full(3, 0.5, np.float32)
+    std = np.full(3, 0.25, np.float32)
+    rng = np.random.default_rng(7)
+    # long side 90 > crop 64 -> grid branch; rows 40 < 64 -> pad margins
+    img = rng.integers(0, 255, (40, 90, 3)).astype(np.uint8)
+    crop, stride_rate = 64, 5 / 6
+
+    ev = Evaluator(
+        _pixelwise_apply, {}, 3, mean, std,
+        multi_scales=[1.0], crop_size=crop, stride_rate=stride_rate,
+    )
+    got = ev.scale_process(img, img.shape[:2], crop, stride_rate)
+
+    # ---- oracle: reference scale_process (grid branch) ----
+    stride = int(math.ceil(crop * stride_rate))
+    img_pad, margin = pad_image_to_shape(img, crop, 0)  # RAW 0-pad
+    pr, pc = img_pad.shape[:2]
+    canvas = np.zeros((pr, pc, 3), np.float32)
+    for gy in range(int(math.ceil((pr - crop) / stride)) + 1):
+        for gx in range(int(math.ceil((pc - crop) / stride)) + 1):
+            ey = min(gy * stride + crop, pr)
+            ex = min(gx * stride + crop, pc)
+            sy, sx = ey - crop, ex - crop
+            sub = img_pad[sy:ey, sx:ex].astype(np.float32)
+            norm = (sub / 255.0 - mean) / std
+            score = np.asarray(_pixelwise_apply({}, jnp.asarray(norm[None])))[0]
+            canvas[sy:ey, sx:ex] += np.exp(score)
+    canvas = canvas[margin[0]: pr - margin[1], margin[2]: pc - margin[3]]
+    want = _jax_linear_resize(canvas, img.shape[:2])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_grid_chunking_invariance():
+    """max_batch chunking (with padded duplicate slots) must not change the
+    assembled scores."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 255, (70, 150, 3)).astype(np.uint8)
+    preds = []
+    for mb in (1, 3, 16):
+        ev = Evaluator(
+            _pixelwise_apply, {}, 3, MEAN, STD, multi_scales=[1.0],
+            crop_size=32, max_batch=mb, is_flip=True,
+        )
+        preds.append(
+            ev.scale_process(img, img.shape[:2], 32, 5 / 6)
+        )
+    np.testing.assert_allclose(preds[0], preds[1], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(preds[0], preds[2], rtol=1e-5, atol=1e-5)

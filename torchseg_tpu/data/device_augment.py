@@ -56,9 +56,13 @@ def sample_params(key, img_hw, crop_hw, scale_array: Sequence[float]):
 
 
 def augment_sample(img_u8, gt, params: AugmentParams, crop_hw, mean, std,
-                   gt_pad: int = 255):
+                   gt_pad: int = 255, gt_down: int = 1):
     """Deterministic core: (H,W,3) uint8 + (H,W) labels -> normalized f32
-    crop (ch,cw,3) and int32 labels (ch,cw)."""
+    crop (ch,cw,3) and int32 labels (ch//gt_down, cw//gt_down).
+
+    gt_down > 1 composes the speed-variant label downsampling (reference
+    model/bisenet/*.speed/dataloader.py:28-30, cv2 INTER_NEAREST after the
+    crop) into the same gather."""
     h, w = img_u8.shape[:2]
     ch, cw = crop_hw
     s = params.scale
@@ -100,19 +104,30 @@ def augment_sample(img_u8, gt, params: AugmentParams, crop_hw, mean, std,
     )
     out_img = jnp.where(mask[:, :, None], val, 0.0)
 
-    # ---- labels: nearest (cv2 INTER_NEAREST: src = floor(dst * H / sh)) ----
-    gy = jnp.clip((y_s * h) // jnp.maximum(sh, 1), 0, h - 1)
-    gx = jnp.clip((x_s * w) // jnp.maximum(sw, 1), 0, w - 1)
+    # ---- labels: nearest (cv2 INTER_NEAREST: src = floor(dst * H / sh)),
+    # on the (ch//gt_down, cw//gt_down) output grid: first map the coarse
+    # index into crop coords (the post-crop downsample), then into scaled
+    # coords, then to the source pixel — one composed gather ----
+    gh, gw = ch // gt_down, cw // gt_down
+    y_sg = (jnp.arange(gh) * ch) // gh + params.off_y - m_top
+    x_sg = (jnp.arange(gw) * cw) // gw + params.off_x - m_left
+    mask_g = (
+        ((y_sg >= 0) & (y_sg < sh))[:, None]
+        & ((x_sg >= 0) & (x_sg < sw))[None, :]
+    )
+    gy = jnp.clip((y_sg * h) // jnp.maximum(sh, 1), 0, h - 1)
+    gx = jnp.clip((x_sg * w) // jnp.maximum(sw, 1), 0, w - 1)
     # mirror(gt) then resize == index the mirrored source position
     gx = jnp.where(params.flip, (w - 1) - gx, gx)
     out_gt = gt[gy[:, None], gx[None, :]].astype(jnp.int32)
-    out_gt = jnp.where(mask, out_gt, gt_pad)
+    out_gt = jnp.where(mask_g, out_gt, gt_pad)
     return out_img, out_gt
 
 
-def make_device_augment(crop_hw, scale_array, mean, std, gt_pad: int = 255):
+def make_device_augment(crop_hw, scale_array, mean, std, gt_pad: int = 255,
+                        gt_down: int = 1):
     """Batched jittable augmentation: (key, imgs (B,H,W,3) u8,
-    gts (B,H,W)) -> (B,ch,cw,3) f32, (B,ch,cw) i32."""
+    gts (B,H,W)) -> (B,ch,cw,3) f32, (B,ch//gt_down,cw//gt_down) i32."""
 
     def fn(key, imgs, gts):
         b, h, w = imgs.shape[:3]
@@ -120,7 +135,8 @@ def make_device_augment(crop_hw, scale_array, mean, std, gt_pad: int = 255):
 
         def one(k, img, gt):
             p = sample_params(k, (h, w), crop_hw, scale_array)
-            return augment_sample(img, gt, p, crop_hw, mean, std, gt_pad)
+            return augment_sample(img, gt, p, crop_hw, mean, std, gt_pad,
+                                  gt_down)
 
         return jax.vmap(one)(keys, imgs, gts)
 

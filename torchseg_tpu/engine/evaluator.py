@@ -12,9 +12,10 @@ Algorithmic parity (evaluator.py:164-297):
   * flip TTA: score = exp(f(x) + flip(f(flip(x)))) — exp of the sum, since
     reference nets emit log-softmax (:255-275).
 
-TPU-native restructuring: all crops of a scale go through ONE batched forward
-(padded to power-of-two batch buckets to bound recompiles), replacing the
-reference's per-crop H2D/D2H loop and its one-process-per-GPU architecture;
+TPU-native restructuring: all crops of a scale go through batched forwards in
+max_batch-sized chunks (bounds peak activation memory and quantizes
+recompiles), replacing the reference's per-crop H2D/D2H loop and its
+one-process-per-GPU architecture;
 multi-host sharding slices the dataset by process index and merges confusion
 matrices (replacing mp.Queue, :96-146).
 """
@@ -103,51 +104,56 @@ class Evaluator:
             self._jit_cache[shape] = fn
         return fn(self.variables, batch_nhwc)
 
-    def _grid_fn(self, pad_shape, n_crops, crop_size):
+    def _grid_fn(self, pad_shape, n_chunks, chunk, crop_size):
         """Jitted device pipeline for one sliding-scale: extract the crop
-        grid from the padded normalized image with dynamic_slice, run the
-        batched (flip-TTA) forward, and scatter-add the exp-scores back onto
-        the canvas — only the canvas crosses back to the host (the reference
-        moves every crop both ways, evaluator.py:236-245)."""
-        key = ("grid", pad_shape, n_crops, crop_size)
+        grid from the padded image with dynamic_slice, run the batched
+        (flip-TTA) forward in max_batch-sized chunks (bounds peak activation
+        memory and quantizes recompiles), and scatter-add the exp-scores back
+        onto the canvas — only the canvas crosses back to the host (the
+        reference moves every crop both ways, evaluator.py:236-245).
+
+        Padding semantics: the reference pads the RAW image with 0 BEFORE
+        normalizing each crop (evaluator.py:213-215 + process_image), so the
+        network sees (0-mean)/std in the margins — normalizing the 0-padded
+        uint8 here reproduces that exactly (no masking, unlike _single_fn/
+        _whole_fn where the reference normalizes first)."""
+        key = ("grid", pad_shape, n_chunks, chunk, crop_size)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         flip = self.is_flip
         cs = crop_size
         nc = self.num_classes
+        mb = chunk
         mean = jnp.asarray(self.image_mean, jnp.float32)
         std = jnp.asarray(self.image_std, jnp.float32)
 
         @jax.jit
-        def run(variables, img_u8, coords, margin):
-            # normalize on device: the host ships uint8 (4x less H2D);
-            # the reference pads AFTER normalize with 0 (:241), so the pad
-            # margins are masked back to exactly 0 here
+        def run(variables, img_u8, coords, n_valid):
+            # normalize on device: the host ships uint8 (4x less H2D)
             norm_img = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
-            h, w = norm_img.shape[:2]
-            rows = jnp.arange(h)[:, None]
-            cols = jnp.arange(w)[None, :]
-            inside = (
-                (rows >= margin[0]) & (rows < h - margin[1])
-                & (cols >= margin[2]) & (cols < w - margin[3])
-            )
-            norm_img = jnp.where(inside[:, :, None], norm_img, 0.0)
+            n_slots = n_chunks * mb
 
-            def extract(k, _):
+            def extract(k):
                 y, x = coords[k, 0], coords[k, 1]
                 return jax.lax.dynamic_slice(norm_img, (y, x, 0), (cs, cs, 3))
 
-            crops = jax.vmap(lambda k: extract(k, None))(
-                jnp.arange(n_crops)
-            )
-            if flip:
-                xb = jnp.concatenate([crops, crops[:, :, ::-1, :]])
-                s = self.apply_fn(variables, xb).astype(jnp.float32)
-                score = s[:n_crops] + s[n_crops:][:, :, ::-1, :]
-            else:
-                score = self.apply_fn(variables, crops).astype(jnp.float32)
-            score = jnp.exp(score)
+            def fwd_chunk(ks):
+                crops = jax.vmap(extract)(ks)
+                if flip:
+                    xb = jnp.concatenate([crops, crops[:, :, ::-1, :]])
+                    s = self.apply_fn(variables, xb).astype(jnp.float32)
+                    score = s[:mb] + s[mb:][:, :, ::-1, :]
+                else:
+                    score = self.apply_fn(variables, crops).astype(jnp.float32)
+                return jnp.exp(score)
+
+            ks = jnp.arange(n_slots).reshape(n_chunks, mb)
+            score = jax.lax.map(fwd_chunk, ks).reshape(n_slots, cs, cs, nc)
+            # slots beyond n_valid are coord duplicates: zero them so the
+            # scatter-add below doesn't double-count
+            valid = (jnp.arange(n_slots) < n_valid).astype(jnp.float32)
+            score = score * valid[:, None, None, None]
 
             canvas = jnp.zeros((*pad_shape, nc), jnp.float32)
 
@@ -158,7 +164,7 @@ class Evaluator:
                     canvas, cur + score[k], (y, x, 0)
                 )
 
-            return jax.lax.fori_loop(0, n_crops, body, canvas)
+            return jax.lax.fori_loop(0, n_slots, body, canvas)
 
         self._jit_cache[key] = run
         return run
@@ -339,12 +345,22 @@ class Evaluator:
                     e_y = min(gy * stride + crop_size, pad_rows)
                     coords.append((e_y - crop_size, e_x - crop_size))
 
-            run = self._grid_fn((pad_rows, pad_cols), len(coords), crop_size)
+            n_crops = len(coords)
+            # chunk = smallest power of two >= n_crops, capped at max_batch:
+            # bounds both wasted slots (<2x) and peak activation memory
+            chunk = 1
+            while chunk < n_crops and chunk < self.max_batch:
+                chunk *= 2
+            n_chunks = -(-n_crops // chunk)
+            n_slots = n_chunks * chunk
+            coords = coords + [coords[0]] * (n_slots - n_crops)
+            run = self._grid_fn((pad_rows, pad_cols), n_chunks, chunk,
+                                crop_size)
             raw = run(
                 self.variables,
                 jnp.asarray(img_pad, jnp.uint8),
                 jnp.asarray(coords, jnp.int32),
-                jnp.asarray(margin, jnp.int32),
+                jnp.asarray(n_crops, jnp.int32),
             )
 
         finish = self._finish_fn(raw.shape, margin, tuple(ori_shape))

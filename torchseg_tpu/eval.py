@@ -122,6 +122,22 @@ def evaluate_checkpoint(cfg, variables, dataset, save_path=None, msf=False,
         save_pred_dir=save_path,
         label_offset=cfg.eval_label_offset,
     )
+    import jax
+
+    if jax.process_count() > 1:
+        # run_dataset shards the val set by process; merge the partial
+        # accumulators so every host logs the FULL-dataset result (the
+        # allgather replacing the reference's results_queue,
+        # evaluator.py:123-128)
+        from .parallel import gather_metrics
+
+        acc.hist = gather_metrics(acc.hist)
+        acc.labeled, acc.correct = (
+            int(v)
+            for v in gather_metrics(
+                np.asarray([acc.labeled, acc.correct], np.int64)
+            )
+        )
     return acc
 
 

@@ -119,6 +119,12 @@ def main(argv=None):
     if args.device_augment:
         from .data.device_augment import make_device_augment
 
+        if cfg.preprocess == "dfn":
+            raise SystemExit(
+                "--device-augment does not support DFN experiments: the DFN "
+                "pipeline derives Canny border aux labels on the host "
+                "(data/preprocess.py DFNTrainPre); drop --device-augment"
+            )
         preprocess = None  # host only decodes; TPU does the transforms
         device_aug = make_device_augment(
             (cfg.image_height, cfg.image_width),
@@ -126,6 +132,7 @@ def main(argv=None):
             cfg.image_mean,
             cfg.image_std,
             gt_pad=cfg.ignore_label if cfg.ignore_label >= 0 else 255,
+            gt_down=cfg.gt_down_sampling,
         )
     else:
         preprocess = build_preprocess(cfg)
@@ -153,7 +160,10 @@ def main(argv=None):
 
     base_lr = cfg.lr
     if cfg.lr_scale_by_world:
-        base_lr = cfg.lr * jax.process_count() * 1.0  # FCN rule
+        # the reference scales base_lr by the number of data-parallel shards
+        # (engine.world_size = #GPUs, fcn train.py:60-62); on TPU that is the
+        # mesh size (total devices), not the host process count
+        base_lr = cfg.lr * n_dev * 1.0  # FCN rule
     lr_schedule = PolyLR(base_lr, cfg.lr_power, nepochs * niters)
 
     trainer = Trainer(
