@@ -224,3 +224,18 @@ def test_native_preprocess_matches_cv2():
         np.testing.assert_allclose(a_img, b_img, atol=2.5 / 255 / std.min())
         agree = (a_gt == b_gt).mean()
         assert agree > 0.97, agree  # nearest-neighbor boundary rounding
+
+
+def test_ade_palette_matches_reference_color150():
+    """The embedded ADE palette must equal the reference's color150.mat
+    (channel-flipped, [0,0,0] prepended — ade.py:34-41)."""
+    import scipy.io as sio
+
+    from torchseg_tpu.data.ade import ADE
+
+    mat = sio.loadmat("/root/reference/furnace/datasets/ade/color150.mat")
+    want = mat["colors"][:, ::-1].astype(int).tolist()
+    got = ADE.get_class_colors()
+    assert got[0] == [0, 0, 0]
+    assert got[1:] == want
+    assert len(got) == 151

@@ -225,3 +225,52 @@ def test_grid_chunking_invariance():
         )
     np.testing.assert_allclose(preds[0], preds[1], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(preds[0], preds[2], rtol=1e-5, atol=1e-5)
+
+
+class _NamedSynth(SyntheticDataset):
+    """Synthetic items with Cityscapes-style file names."""
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        item["fn"] = f"frankfurt_0000{index}_000294_leftImg8bit"
+        return item
+
+
+def test_submit_writes_remapped_pngs(tmp_path):
+    import cv2
+
+    from torchseg_tpu.data.cityscapes import Cityscapes
+
+    ds = _NamedSynth(num_items=2, image_hw=(16, 16), num_classes=3)
+    ev = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD)
+    ev.run_dataset(
+        ds, mode="whole", process_index=0, process_count=1,
+        submit_dir=str(tmp_path), transform_label=Cityscapes.transform_label,
+    )
+    import os
+
+    files = sorted(os.listdir(tmp_path))
+    # rename convention drops the trailing part (cityscapes.py:42-44)
+    assert files == ["frankfurt_00000_000294.png", "frankfurt_00001_000294.png"]
+    out = cv2.imread(str(tmp_path / files[0]), cv2.IMREAD_GRAYSCALE)
+    # train ids {0,1,2} -> official label ids {7, 8, 11}
+    assert set(np.unique(out)) <= {7, 8, 11}
+
+
+def test_show_image_dir_writes_composites(tmp_path):
+    import cv2
+
+    ds = _NamedSynth(num_items=1, image_hw=(16, 16), num_classes=3)
+    ev = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD)
+    colors = [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    ev.run_dataset(
+        ds, mode="whole", process_index=0, process_count=1,
+        show_image=str(tmp_path), class_colors=colors, background=255,
+    )
+    import os
+
+    files = os.listdir(tmp_path)
+    assert files == ["frankfurt_00000_000294_leftImg8bit_comp.png"]
+    comp = cv2.imread(str(tmp_path / files[0]))
+    # [img | sep | gt | sep | pred] horizontally: 3*16 + 2*3 columns
+    assert comp.shape == (16, 3 * 16 + 2 * 3, 3)

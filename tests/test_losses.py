@@ -200,3 +200,46 @@ def test_registry_loss_builders_cover_variants():
 
     fcn = get_experiment("voc.fcn32s.R101_v1c")
     assert fcn.lr_scale_by_world and fcn.business_lr_mult == 1.0
+
+
+def test_dfn_border_ignore_label_config_driven():
+    """border_ignore_label must reach the focal loss: remapping the aux
+    labels' ignore value and the config together must give the same loss,
+    while changing only the config must not."""
+    import dataclasses
+    import jax.numpy as jnp
+    from torchseg_tpu.experiments.registry import (
+        build_loss_fn,
+        get_experiment,
+    )
+
+    cfg = get_experiment("cityscapes.dfn.R101_v1c")
+    cfg = dataclasses.replace(cfg, image_height=8, image_width=8, batch_size=2)
+    rng = np.random.default_rng(1)
+    outs = {
+        "smooth": [jnp.asarray(
+            rng.normal(size=(2, 8, 8, 19)).astype(np.float32))
+            for _ in range(4)],
+        "border": [jnp.asarray(
+            rng.normal(size=(2, 8, 8, 1)).astype(np.float32))
+            for _ in range(4)],
+    }
+    aux = rng.integers(0, 2, size=(2, 8, 8)).astype(np.int32)
+    aux[0, :2] = 255  # ignored border pixels under the default convention
+    label = rng.integers(0, 19, size=(2, 8, 8)).astype(np.int32)
+    base = float(build_loss_fn(cfg, 1)(
+        outs, {"label": jnp.asarray(label), "aux_label": jnp.asarray(aux)}
+    ))
+
+    # same data with ignore spelled as 7: must match once configured ...
+    aux7 = np.where(aux == 255, 7, aux)
+    cfg7 = dataclasses.replace(cfg, border_ignore_label=7)
+    got = float(build_loss_fn(cfg7, 1)(
+        outs, {"label": jnp.asarray(label), "aux_label": jnp.asarray(aux7)}
+    ))
+    assert got == pytest.approx(base, rel=1e-6)
+    # ... and differ when the config still says 255 (7 treated as a class)
+    mismatched = float(build_loss_fn(cfg, 1)(
+        outs, {"label": jnp.asarray(label), "aux_label": jnp.asarray(aux7)}
+    ))
+    assert mismatched != pytest.approx(base, rel=1e-6)

@@ -55,10 +55,21 @@ def test_psanet():
     assert out["main"].shape == (1, 48, 48, 150)
 
 
-def test_psanet_wrong_size_asserts():
+def test_psanet_offsize_resizes_attention_grid():
+    """Off-size inputs no longer assert: the 60x60 source grid is resized to
+    the feature size (models/psanet.py), so any /8-divisible shape runs."""
     m = models.psanet_r50(num_classes=150, att_channels=3600)
-    x = jnp.zeros((1, 48, 48, 3))
-    with pytest.raises(AssertionError):
+    x = jnp.zeros((1, 48, 48, 3))  # /8 = 6x6 != 60x60
+    out = _run(m, x, train=False)
+    assert out.shape == (1, 48, 48, 150)
+    s = jax.nn.logsumexp(out, axis=-1)
+    assert jnp.allclose(s, 0.0, atol=1e-4)
+
+
+def test_psanet_non_square_grid_offsize_raises():
+    m = models.psanet_r50(num_classes=150, att_channels=35)
+    x = jnp.zeros((1, 48, 48, 3))  # 6x6=36 != 35, and 35 is not square
+    with pytest.raises(ValueError, match="square grid"):
         _run(m, x, train=False)
 
 

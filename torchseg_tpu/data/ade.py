@@ -3,11 +3,10 @@
 ADE labels are 1-based on disk; train/eval pipelines shift by -1 so valid
 classes are 0..149 and unlabeled becomes -1 (the ignore label), matching the
 reference loaders (model/pspnet/ade.pspnet.R50_v1c/dataloader.py:31,
-eval.py:28).  Class colors follow the standard ADE palette convention: a
-deterministic list is generated here instead of loading color150.mat.
+eval.py:28).  Class colors are the real color150 values (embedded as a constant
+table instead of loading color150.mat at runtime), so overlays match
+the reference exactly.
 """
-
-import colorsys
 
 import cv2
 import numpy as np
@@ -75,15 +74,46 @@ ADE_CLASS_NAMES = [
 ]
 
 
+# The standard ADE20K color150 palette (public dataset metadata; the
+# reference loads furnace/datasets/ade/color150.mat and flips channels
+# to BGR, ade.py:34-41).  [0, 0, 0] is prepended for background below.
+ADE_COLOR150_BGR = [
+    [120, 120, 120], [120, 120, 180], [230, 230, 6], [50, 50, 80], [3, 200, 4],
+    [80, 120, 120], [140, 140, 140], [255, 5, 204], [230, 230, 230], [7, 250, 4],
+    [255, 5, 224], [7, 255, 235], [61, 5, 150], [70, 120, 120], [51, 255, 8],
+    [82, 6, 255], [140, 255, 143], [4, 255, 204], [7, 51, 255], [3, 70, 204],
+    [200, 102, 0], [250, 230, 61], [51, 6, 255], [255, 102, 11], [71, 7, 255],
+    [224, 9, 255], [230, 7, 9], [220, 220, 220], [92, 9, 255], [255, 9, 112],
+    [214, 255, 8], [224, 255, 7], [6, 184, 255], [71, 255, 10], [10, 41, 255],
+    [255, 255, 7], [8, 255, 224], [255, 8, 102], [6, 61, 255], [7, 194, 255],
+    [8, 122, 255], [20, 255, 0], [41, 8, 255], [153, 5, 255], [255, 51, 6],
+    [255, 12, 235], [20, 150, 160], [255, 163, 0], [140, 140, 140], [15, 10, 250],
+    [0, 255, 20], [0, 255, 31], [0, 31, 255], [0, 224, 255], [0, 255, 153],
+    [255, 0, 0], [0, 71, 255], [255, 235, 0], [255, 173, 0], [255, 0, 31],
+    [200, 200, 11], [0, 82, 255], [245, 255, 0], [255, 61, 0], [112, 255, 0],
+    [133, 255, 0], [0, 0, 255], [0, 163, 255], [0, 102, 255], [0, 255, 194],
+    [255, 143, 0], [0, 255, 51], [255, 82, 0], [41, 255, 0], [173, 255, 0],
+    [255, 0, 10], [0, 255, 173], [153, 255, 0], [0, 92, 255], [255, 0, 255],
+    [245, 0, 255], [102, 0, 255], [0, 173, 255], [20, 0, 255], [184, 184, 255],
+    [255, 31, 0], [61, 255, 0], [255, 71, 0], [204, 0, 255], [194, 255, 0],
+    [82, 255, 0], [255, 10, 0], [255, 112, 0], [255, 0, 51], [255, 194, 0],
+    [255, 122, 0], [163, 255, 0], [0, 153, 255], [10, 255, 0], [0, 112, 255],
+    [0, 255, 143], [255, 0, 82], [0, 255, 163], [0, 235, 255], [170, 184, 8],
+    [255, 0, 133], [92, 255, 0], [255, 0, 184], [31, 0, 255], [255, 184, 0],
+    [255, 214, 0], [112, 0, 255], [0, 255, 92], [255, 224, 0], [255, 224, 112],
+    [160, 184, 70], [255, 0, 163], [255, 0, 153], [0, 255, 71], [163, 0, 255],
+    [0, 204, 255], [143, 0, 255], [235, 255, 0], [0, 255, 133], [235, 0, 255],
+    [255, 0, 245], [122, 0, 255], [0, 245, 255], [212, 190, 10], [0, 255, 214],
+    [255, 204, 0], [255, 0, 20], [0, 255, 255], [255, 153, 0], [255, 41, 0],
+    [204, 255, 0], [255, 0, 41], [0, 255, 41], [255, 0, 173], [255, 245, 0],
+    [255, 0, 71], [255, 0, 122], [184, 255, 0], [255, 92, 0], [0, 255, 184],
+    [255, 133, 0], [0, 214, 255], [194, 194, 25], [0, 255, 102], [255, 0, 92],
+]
+
+
 def _ade_colors(n=150):
-    colors = [[0, 0, 0]]  # background/unlabeled first (ade.py:40-41)
-    for i in range(n):
-        h = (i * 0.6180339887498949) % 1.0
-        s = 0.55 + 0.45 * ((i * 7) % 3) / 2.0
-        v = 0.65 + 0.35 * ((i * 11) % 5) / 4.0
-        r, g, b = colorsys.hsv_to_rgb(h, s, v)
-        colors.append([int(r * 255), int(g * 255), int(b * 255)])
-    return colors
+    # background/unlabeled first, then the color150 table (ade.py:40-41)
+    return [[0, 0, 0]] + [list(c) for c in ADE_COLOR150_BGR[:n]]
 
 
 class ADE(ManifestDataset):

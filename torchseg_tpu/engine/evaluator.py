@@ -399,6 +399,11 @@ class Evaluator:
         label_offset: int = 0,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        submit_dir: Optional[str] = None,
+        transform_label: Optional[Callable] = None,
+        show_image: Optional[str] = None,
+        class_colors=None,
+        background: int = -1,
     ) -> ConfusionAccumulator:
         """Evaluate a val dataset; returns the confusion accumulator.
 
@@ -409,13 +414,24 @@ class Evaluator:
         label_offset: added to raw labels (ADE uses -1).
         process_index/count: multi-host shard (replaces the reference's
         per-GPU mp.Process sharding).
+        submit_dir + transform_label: write server-submission PNGs with the
+        dataset's train-id -> label-id remap (reference
+        datasets/cityscapes/cityscapes.py:35-48).
+        show_image: 'window' opens the reference's interactive composite
+        (eval.py:42-50); any other value is a directory the composites are
+        written to (headless equivalent).  Needs class_colors/background.
         """
         pidx = process_index if process_index is not None else jax.process_index()
         pcnt = process_count if process_count is not None else jax.process_count()
+        extras = dict(
+            submit_dir=submit_dir, transform_label=transform_label,
+            show_image=show_image, class_colors=class_colors,
+            background=background,
+        )
         if self.devices is not None and len(self.devices) > 1:
             return self._run_dataset_multidevice(
                 dataset, mode, gt_down_sampling, resize_to, save_pred_dir,
-                label_offset, pidx, pcnt,
+                label_offset, pidx, pcnt, extras,
             )
         acc = ConfusionAccumulator(self.num_classes)
         n = len(dataset)
@@ -424,7 +440,7 @@ class Evaluator:
             item = dataset[idx]
             pred, label = self._eval_one(
                 item, mode, gt_down_sampling, resize_to, label_offset,
-                save_pred_dir,
+                save_pred_dir, **extras,
             )
             acc.update(pred, label)
             if k % 10 == 0:
@@ -435,7 +451,9 @@ class Evaluator:
         return acc
 
     def _eval_one(self, item, mode, gt_down_sampling, resize_to,
-                  label_offset, save_pred_dir):
+                  label_offset, save_pred_dir, submit_dir=None,
+                  transform_label=None, show_image=None, class_colors=None,
+                  background=-1):
         img, label = item["image"], item["label"]
         if label_offset:
             label = label.astype(np.int64) + label_offset
@@ -468,11 +486,34 @@ class Evaluator:
                 os.path.join(save_pred_dir, item["fn"] + ".png"),
                 pred.astype(np.uint8),
             )
+        if submit_dir is not None and transform_label is not None:
+            # server-submission remap (cityscapes.py:35-48): train ids ->
+            # official label ids, file renamed per the dataset convention
+            import os
+
+            os.makedirs(submit_dir, exist_ok=True)
+            out, new_name = transform_label(pred, item["fn"] + ".png")
+            cv2.imwrite(os.path.join(submit_dir, new_name),
+                        out.astype(np.uint8))
+        if show_image:
+            from ..utils.visualize import show_img
+
+            comp = show_img(class_colors, background, img, label, pred)
+            if show_image == "window":
+                cv2.imshow("comp_image", comp)
+                cv2.waitKey(0)
+            else:
+                import os
+
+                os.makedirs(show_image, exist_ok=True)
+                cv2.imwrite(
+                    os.path.join(show_image, item["fn"] + "_comp.png"), comp
+                )
         return pred.astype(np.int64), label.astype(np.int64)
 
     def _run_dataset_multidevice(self, dataset, mode, gt_down_sampling,
                                  resize_to, save_pred_dir, label_offset,
-                                 pidx, pcnt):
+                                 pidx, pcnt, extras=None):
         """One worker thread per local device, contiguous index shards —
         the in-process equivalent of the reference's one-mp.Process-per-GPU
         architecture (evaluator.py:96-146)."""

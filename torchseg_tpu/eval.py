@@ -69,6 +69,15 @@ def build_argparser():
     p.add_argument("--log-dir", default="log")
     p.add_argument("-p", "--save-path", default=None,
                    help="dump prediction PNGs here")
+    p.add_argument("--submit", default=None, metavar="DIR",
+                   help="write server-submission PNGs (train ids remapped "
+                        "via the dataset's transform_label, e.g. Cityscapes "
+                        "label ids) into DIR")
+    p.add_argument("-s", "--show-image", nargs="?", const="window",
+                   default=None, metavar="DIR",
+                   help="composite [image|gt|pred] overlays: no value opens "
+                        "an interactive window (reference eval.py -s); a DIR "
+                        "value writes the composites there (headless)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="evaluate N synthetic images (smoke)")
     p.add_argument("--msf", action="store_true",
@@ -109,11 +118,30 @@ def make_evaluator(cfg, variables, msf=False, devices=None):
 
 
 def evaluate_checkpoint(cfg, variables, dataset, save_path=None, msf=False,
-                        ev=None):
+                        ev=None, submit_dir=None, show_image=None):
     if ev is None:
         ev = make_evaluator(cfg, variables, msf)
     else:
         ev.variables = variables  # reuse compiled fns across the epoch sweep
+    extras = {}
+    if submit_dir is not None:
+        transform = getattr(type(dataset), "transform_label", None)
+        if transform is None:
+            raise SystemExit(
+                f"--submit needs a dataset with a transform_label remap; "
+                f"{type(dataset).__name__} has none (Cityscapes only)"
+            )
+        extras.update(submit_dir=submit_dir, transform_label=transform)
+    if show_image is not None:
+        colors_fn = getattr(type(dataset), "get_class_colors", None)
+        colors = (colors_fn() if colors_fn is not None else
+                  [[(37 * i) % 256, (97 * i) % 256, (173 * i) % 256]
+                   for i in range(cfg.num_classes)])
+        extras.update(
+            show_image=show_image,
+            class_colors=colors,
+            background=cfg.ignore_label,
+        )
     acc = ev.run_dataset(
         dataset,
         mode=cfg.eval_mode,
@@ -121,6 +149,7 @@ def evaluate_checkpoint(cfg, variables, dataset, save_path=None, msf=False,
         resize_to=cfg.eval_resize_to,
         save_pred_dir=save_path,
         label_offset=cfg.eval_label_offset,
+        **extras,
     )
     import jax
 
@@ -184,16 +213,9 @@ def main(argv=None):
     import jax
 
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-    try:
-        # params are shape-independent: init at a tiny size for speed
-        template_vars = model.init(rngs, jnp.zeros((1, 64, 128, 3)),
-                                   train=True)
-    except AssertionError:
-        # PSANet asserts H*W == att_channels at ÷8: init at the train crop
-        template_vars = model.init(
-            rngs, jnp.zeros((1, cfg.image_height, cfg.image_width, 3)),
-            train=True,
-        )
+    # params are shape-independent: init at a tiny size for speed (PSANet
+    # included — off-size inputs resize the attention grid, models/psanet.py)
+    template_vars = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
     template = TrainState.create(template_vars)
 
     snapshot_dir = args.snapshot_dir or os.path.join(log_dir, "snapshot")
@@ -225,7 +247,9 @@ def main(argv=None):
         )
         ev = make_evaluator(cfg, variables, msf=args.msf, devices=devices)
         acc = evaluate_checkpoint(cfg, variables, dataset, args.save_path,
-                                  msf=args.msf, ev=ev)
+                                  msf=args.msf, ev=ev,
+                                  submit_dir=args.submit,
+                                  show_image=args.show_image)
         iou, miou, _, pixacc = acc.scores()
         names = (DATASETS[cfg.dataset].get_class_names()
                  if not args.synthetic else None)
@@ -244,7 +268,8 @@ def main(argv=None):
             ev = make_evaluator(cfg, variables, msf=args.msf,
                                 devices=devices)
         acc = evaluate_checkpoint(
-            cfg, variables, dataset, args.save_path, msf=args.msf, ev=ev
+            cfg, variables, dataset, args.save_path, msf=args.msf, ev=ev,
+            submit_dir=args.submit, show_image=args.show_image,
         )
         iou, miou, miou_nb, pixacc = acc.scores()
         names = DATASETS[cfg.dataset].get_class_names() if not args.synthetic \

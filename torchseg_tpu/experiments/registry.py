@@ -62,6 +62,9 @@ class ExperimentConfig:
     ohem_min_kept_divisor: int = 16  # min_kept = b*H*W / (div * gds^2)
     aux_loss_ratio: float = 0.5      # fcn 0.5 / psp+psa 0.4
     dfn_alpha: float = 0.1
+    # the border branch's focal-loss ignore label; the reference hardcodes
+    # 255 in both DFN train.py:52 — kept configurable for extensions
+    border_ignore_label: int = 255
     # eval protocol
     eval_scale_array: Sequence[float] = (1.0,)
     # the msf protocol scales (config.py comments next to eval_scale_array)
@@ -297,6 +300,7 @@ def build_loss_fn(cfg: ExperimentConfig, num_shards: int = 1):
 
     if cfg.loss == "dfn":
         alpha = cfg.dfn_alpha
+        border_ignore = cfg.border_ignore_label
 
         def loss_fn(outs, batch):
             label = batch["label"]
@@ -306,7 +310,8 @@ def build_loss_fn(cfg: ExperimentConfig, num_shards: int = 1):
                 loss = loss + cross_entropy_with_ignore(s, label, ignore)
             aux = 0.0
             for b in outs["border"]:
-                aux = aux + sigmoid_focal_loss_border(b, aux_label, 255)
+                aux = aux + sigmoid_focal_loss_border(b, aux_label,
+                                                      border_ignore)
             return loss + alpha * aux
 
         return loss_fn

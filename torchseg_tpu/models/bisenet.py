@@ -98,18 +98,23 @@ class BiSeNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, stem_outs=None):
+    def __call__(self, x, train: bool = False, stem_outs=None,
+                 spatial_out=None):
         """stem_outs: optional (spatial_stem, backbone_stem) activations from
         the deploy-time fused stem — both 7x7/2 convs of the R18 variant run
-        as ONE conv over the shared input (deploy/fused_stem.py)."""
+        as ONE conv over the shared input (deploy/fused_stem.py).
+        spatial_out: optional fully precomputed SpatialPath output (÷8,
+        128ch) — the no-split serving path computes the whole spatial branch
+        outside with channel-extended kernels (deploy/fused_stem.py)."""
         cc = self.conv_channel
         sp_stem, bb_stem, bb_pooled = (
             stem_outs if stem_outs is not None else (None, None, None)
         )
-        spatial_out = SpatialPath(128, norm=self.norm, dtype=self.dtype,
-                                  name="spatial_path")(
-            x, train, stem_features=sp_stem
-        )
+        if spatial_out is None:
+            spatial_out = SpatialPath(128, norm=self.norm, dtype=self.dtype,
+                                      name="spatial_path")(
+                x, train, stem_features=sp_stem
+            )
 
         context_blocks = list(
             self.backbone(x, train, stem_features=bb_stem,

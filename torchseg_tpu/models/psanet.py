@@ -8,8 +8,11 @@ becomes ``einsum('bij,bjc->bic', softmax(att, axis=-1), x_flat)`` — one
 MXU batch-matmul per branch.
 
 Like the reference (simplified vs the paper, README.md:91-94) the attention is
-predicted at feature-map size, which requires H*W == att_channels (3600 at the
-480-crop training size).
+predicted at feature-map size; H*W == att_channels (3600 at the 480-crop
+training size) reproduces the reference exactly.  Off-size inputs resize the
+60x60 attention source grid bilinearly to the feature size (compact-PSA
+style) instead of failing — the reference would crash on any such shape
+(bmm shape mismatch, network.py:124-137).
 """
 
 from typing import Optional
@@ -36,10 +39,6 @@ class PSABranch(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, w, _ = x.shape
-        assert h * w == self.att_channels, (
-            f"PSA attention is predicted at feature size: got {h}x{w}, "
-            f"need H*W == {self.att_channels}"
-        )
         red = ConvBnRelu(self.inner, 1, 1, 0, norm=self.norm, dtype=self.dtype,
                          name="reduction")(x, train)
         att = ConvBnRelu(512, 1, 1, 0, norm=self.norm, dtype=self.dtype,
@@ -49,10 +48,25 @@ class PSABranch(nn.Module):
             norm=self.norm, dtype=self.dtype, name="att_out"
         )(att, train)
         # att[b, i, j]: how much position i collects from position j
-        att = jax.nn.softmax(
-            att.reshape(b, h * w, self.att_channels).astype(jnp.float32),
-            axis=-1,
-        )
+        if h * w == self.att_channels:
+            # the reference path (training size: 60x60 features, 3600 ch)
+            att = att.reshape(b, h * w, self.att_channels)
+        else:
+            # off-size inputs: the att channels enumerate a fixed
+            # sqrt(C) x sqrt(C) source grid; bilinearly resize that grid to
+            # the feature size (compact-PSA style) instead of asserting —
+            # exact at the training size, graceful everywhere else
+            ah = int(round(self.att_channels ** 0.5))
+            if ah * ah != self.att_channels:
+                raise ValueError(
+                    f"PSA feature size {h}x{w} != att_channels "
+                    f"{self.att_channels}, which is not a square grid — "
+                    "cannot resize the attention source grid"
+                )
+            att = att.reshape(b, h, w, ah, ah)
+            att = jax.image.resize(att, (b, h, w, h, w), method="linear")
+            att = att.reshape(b, h * w, h * w)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1)
         red_flat = red.reshape(b, h * w, self.inner).astype(jnp.float32)
         fm = jnp.einsum("bij,bjc->bic", att, red_flat)
         return fm.reshape(b, h, w, self.inner).astype(x.dtype)
