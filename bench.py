@@ -136,8 +136,10 @@ def measure_chain(infer_parts, args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--chain", type=int, default=50)
-    p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--chain", type=int, default=150,
+                   help="iterations per chained run; long chains amortize "
+                        "the ~35 ms tunnel dispatch to <0.25 ms/iter")
+    p.add_argument("--reps", type=int, default=3)
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=2048)
     p.add_argument("--f32", action="store_true")
@@ -147,18 +149,24 @@ def main():
     try:
         ms = measure_profiler(*parts)
     except Exception:
-        ms = measure_chain(parts, args)
-    fps = 1000.0 / ms
-    print(
-        json.dumps(
-            {
-                "metric": "bisenet_r18_1024x2048_fps_per_chip",
-                "value": round(fps, 2),
-                "unit": "FPS",
-                "vs_baseline": round(fps / 200.0, 3),
-            }
-        )
-    )
+        ms = None
+    try:
+        chain_ms = measure_chain(parts, args)
+    except Exception:
+        chain_ms = None
+    primary = ms if ms is not None else chain_ms
+    fps = 1000.0 / primary
+    out = {
+        "metric": "bisenet_r18_1024x2048_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "FPS",
+        "vs_baseline": round(fps / 200.0, 3),
+    }
+    if ms is not None and chain_ms is not None:
+        # secondary, conservative estimator: wall time of a serialized
+        # chained loop (includes carry updates + loop overhead)
+        out["chained_fps"] = round(1000.0 / chain_ms, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

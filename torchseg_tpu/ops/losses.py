@@ -33,6 +33,31 @@ def one_hot(labels: jnp.ndarray, num_classes: int, dtype=jnp.float32):
     return jax.nn.one_hot(labels, num_classes, dtype=dtype)
 
 
+def _select_class(values: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """values[..., labels[...]] per row WITHOUT a gather.
+
+    XLA lowers a (N, C) row-gather to a kCustom dynamic-gather that runs at
+    ~30 ms for N=2M on v5e; the one-hot select/reduce fuses into one kLoop
+    pass over values (~0.5 ms).  Bit-identical result (sum over a single
+    nonzero term).
+    """
+    idx = jax.lax.broadcasted_iota(jnp.int32, values.shape, values.ndim - 1)
+    return jnp.sum(
+        jnp.where(idx == labels[..., None], values, 0.0), axis=-1
+    )
+
+
+def _lookup_table(table: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """table[labels] per element without a gather (same rationale)."""
+    table = jnp.asarray(table)
+    idx = jax.lax.broadcasted_iota(
+        jnp.int32, labels.shape + table.shape, labels.ndim
+    )
+    return jnp.sum(
+        jnp.where(idx == labels[..., None], table, 0.0), axis=-1
+    )
+
+
 def cross_entropy_with_ignore(
     scores: jnp.ndarray,
     labels: jnp.ndarray,
@@ -52,9 +77,9 @@ def cross_entropy_with_ignore(
     valid = labels != ignore_label
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(scores, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = -_select_class(logp, safe_labels)
     if class_weights is not None:
-        w = jnp.asarray(class_weights)[safe_labels]
+        w = _lookup_table(class_weights, safe_labels)
     else:
         w = jnp.ones_like(nll)
     w = w * valid.astype(jnp.float32)
@@ -123,7 +148,7 @@ def prob_ohem_cross_entropy(
     num_valid = jnp.sum(valid)
 
     logp = jax.nn.log_softmax(flat_scores, axis=-1)
-    gt_logp = jnp.take_along_axis(logp, safe_labels[:, None], axis=-1)[:, 0]
+    gt_logp = _select_class(logp, safe_labels)
     gt_prob = jnp.exp(gt_logp)
     # invalid pixels get prob 1 (reference masked_fill_, loss_opr.py:83)
     gt_prob = jnp.where(valid, gt_prob, 1.0)
@@ -147,7 +172,7 @@ def prob_ohem_cross_entropy(
 
     nll = -gt_logp
     if class_weights is not None:
-        wgt = jnp.asarray(class_weights)[safe_labels]
+        wgt = _lookup_table(class_weights, safe_labels)
     else:
         wgt = jnp.ones_like(nll)
     wgt = wgt * kept.astype(jnp.float32)
