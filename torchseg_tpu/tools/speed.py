@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def compute_speed(model, variables, input_shape, chain=50, reps=4,
+def compute_speed(model, variables, input_shape, chain=150, reps=3,
                   dtype=None):
     import jax
     import jax.numpy as jnp
@@ -28,7 +28,14 @@ def compute_speed(model, variables, input_shape, chain=50, reps=4,
             scores = model.apply(variables, x, train=False)
             pred = jnp.argmax(scores, axis=-1)
             acc = acc + pred[0, 0, 0]
-            x = x + (acc % 2).astype(x.dtype) * 1e-8
+            # minimal inter-iteration dependency: touch one input element
+            # (a full-tensor add would bill extra HBM traffic to the model)
+            delta = ((acc % 2).astype(x.dtype) * 1e-8).reshape(
+                (1,) * x.ndim
+            )
+            x = jax.lax.dynamic_update_slice(
+                x, x[(slice(0, 1),) * x.ndim] + delta, (0,) * x.ndim
+            )
             return (x, acc)
 
         return jax.lax.fori_loop(0, chain, body, (x + seed, jnp.int32(0)))[1]
@@ -52,8 +59,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-e", "--experiment", required=True)
     p.add_argument("--input-size", default="1x1024x2048x3")
-    p.add_argument("--chain", type=int, default=50)
-    p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--chain", type=int, default=150,
+                   help="iterations per chained run (long chains amortize "
+                        "the tunnel dispatch overhead)")
+    p.add_argument("--reps", type=int, default=3)
     p.add_argument("--f32", action="store_true")
     p.add_argument("--summary", action="store_true",
                    help="print per-module stats table too")
