@@ -346,12 +346,11 @@ class Evaluator:
                     coords.append((e_y - crop_size, e_x - crop_size))
 
             n_crops = len(coords)
-            # chunk = smallest power of two >= n_crops, capped at max_batch:
-            # bounds both wasted slots (<2x) and peak activation memory
-            chunk = 1
-            while chunk < n_crops and chunk < self.max_batch:
-                chunk *= 2
-            n_chunks = -(-n_crops // chunk)
+            # balanced chunks bounded by max_batch: caps peak activation
+            # memory while wasting < n_chunks padded slots (e.g. 19 crops
+            # at max_batch 16 -> 2 chunks of 10, one slot wasted)
+            n_chunks = -(-n_crops // self.max_batch)
+            chunk = -(-n_crops // n_chunks)
             n_slots = n_chunks * chunk
             coords = coords + [coords[0]] * (n_slots - n_crops)
             run = self._grid_fn((pad_rows, pad_cols), n_chunks, chunk,
