@@ -69,6 +69,10 @@ def main(argv=None):
     p.add_argument("--deploy", action="store_true",
                    help="classic-stem BiSeNet only: fused-stem + s2d-input "
                         "serving path (deploy/fused_stem.py)")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantization of the conv body "
+                        "(deploy/quantize.py; calibrated on random inputs "
+                        "here — real serving calibrates on val images)")
     args = p.parse_args(argv)
 
     import jax
@@ -96,6 +100,27 @@ def main(argv=None):
 
         print_stats(build_model(cfg, axis_name=None), shape)
 
+    apply_fn = model.apply
+    tag = ""
+    if args.int8:
+        from ..deploy.quantize import calibrate, quantized_apply_fn
+
+        rng = np.random.default_rng(0)
+        calib = [
+            jnp.asarray(rng.normal(size=shape).astype(np.float32))
+            for _ in range(2)
+        ]
+        scales = calibrate(model, variables, calib)
+        apply_fn = quantized_apply_fn(model, scales)
+        tag = " [int8]"
+
+    class _Model:
+        apply = staticmethod(
+            lambda v, x, train=False, **kw: apply_fn(v, x, **kw)
+        )
+
+    model_for_speed = _Model if args.int8 else model
+
     if args.deploy:
         import jax.numpy as _jnp
 
@@ -115,27 +140,30 @@ def main(argv=None):
 
         class _DeployModel:
             """model-like shim consuming the s2d serving input format
-            (1, H/2, W/2, 12); see deploy/prepare_s2d_input."""
+            (1, H/2, W/2, 12); see deploy/prepare_s2d_input.  With --int8
+            the body convs run quantized (the fused stem stays bf16 — the
+            first layer is the standard skip)."""
 
             @staticmethod
             def apply(v, xs, train=False):
                 del train
                 stems = _fused_stem_s2d(v, xs, cfg.bn_eps)
                 dummy = _jnp.zeros((b, h, w, 3), xs.dtype)  # DCE'd
-                return model.apply(v, dummy, train=False, stem_outs=stems)
+                return apply_fn(v, dummy, train=False, stem_outs=stems)
 
         res = compute_speed(_DeployModel, variables,
                             (b, h // 2, w // 2, 12), args.chain,
                             args.reps, dtype)
         print(
-            f"{args.experiment} [deploy] @ {args.input_size}: "
+            f"{args.experiment} [deploy]{tag} @ {args.input_size}: "
             f"{res['ms_per_iter']:.3f} ms/iter, {res['fps']:.1f} FPS"
         )
         return res
 
-    res = compute_speed(model, variables, shape, args.chain, args.reps, dtype)
+    res = compute_speed(model_for_speed, variables, shape, args.chain,
+                        args.reps, dtype)
     print(
-        f"{args.experiment} @ {args.input_size}: "
+        f"{args.experiment}{tag} @ {args.input_size}: "
         f"{res['ms_per_iter']:.3f} ms/iter, {res['fps']:.1f} FPS"
     )
     return res
