@@ -160,3 +160,85 @@ def test_checkpoint_roundtrip():
             np.asarray(state.params["c1"]["conv"]["kernel"]),
         )
         assert int(restored.step) == int(state.step)
+
+
+def test_grad_accumulation_matches_full_batch_on_bn_free_model():
+    """accum_steps=2 must produce exactly the same update as the full-batch
+    step when nothing couples pixels across the batch (no BN): the summed
+    grads / accum equal the full-batch mean-CE grads only when the loss is a
+    per-microbatch mean — so compare against the mean of two manual
+    half-batch steps instead."""
+    from flax import linen as nn
+
+    class NoBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = nn.Conv(8, (3, 3), padding=[(1, 1)] * 2, name="c")(x)
+            x = nn.relu(x)
+            return {"main": nn.Conv(4, (1, 1), name="out")(x)}
+
+    mesh = make_data_mesh(jax.devices()[:2])
+    model = NoBN()
+
+    def loss_fn(outs, batch):
+        return cross_entropy_with_ignore(outs["main"], batch["label"], 255)
+
+    rng = np.random.default_rng(3)
+    images = rng.normal(size=(8, 8, 8, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, size=(8, 8, 8)).astype(np.int32)
+    batch = {"image": jnp.array(images), "label": jnp.array(labels)}
+
+    t1 = Trainer(model, loss_fn, PolyLR(0.1, 0.9, 100), mesh=mesh,
+                 donate=False, accum_steps=1)
+    t2 = Trainer(model, loss_fn, PolyLR(0.1, 0.9, 100), mesh=mesh,
+                 donate=False, accum_steps=2)
+    s1 = t1.init_state(jax.random.PRNGKey(0), batch)
+    s2 = s1
+
+    # manual oracle: mean of the two microbatch losses/grads
+    def halfstep_grads(params, half):
+        def lw(p):
+            outs = model.apply({"params": p, "batch_stats": {}},
+                               half["image"], train=True,
+                               mutable=["batch_stats"],
+                               rngs={"dropout": jax.random.PRNGKey(9)})[0]
+            return loss_fn(outs, half)
+
+        return jax.grad(lw)(params)
+
+    s1_new, loss1, _ = t1.train_step(s1, batch, jax.random.PRNGKey(7))
+    s2_new, loss2, _ = t2.train_step(s2, batch, jax.random.PRNGKey(7))
+
+    # per-shard batch is 4; accum=2 -> microbatches of 2.  The accumulated
+    # loss is the mean of microbatch means, which differs from the full-
+    # batch mean only through sample weighting (equal-size microbatches of
+    # fully-valid labels => identical).
+    assert float(loss2) == pytest.approx(float(loss1), rel=1e-5)
+    k1 = np.asarray(s1_new.params["c"]["kernel"])
+    k2 = np.asarray(s2_new.params["c"]["kernel"])
+    np.testing.assert_allclose(k2, k1, rtol=2e-5, atol=2e-6)
+
+
+def test_grad_accumulation_smoke_with_bn_and_divisibility_error():
+    model = _make_tiny_model()
+
+    def loss_fn(outs, batch):
+        return cross_entropy_with_ignore(outs["main"], batch["label"], 255)
+
+    mesh = make_data_mesh(jax.devices()[:2])
+    trainer = Trainer(model, loss_fn, PolyLR(0.5, 0.9, 100), mesh=mesh,
+                      donate=False, accum_steps=2)
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": jnp.array(rng.normal(size=(8, 8, 8, 3)).astype(np.float32)),
+        "label": jnp.array(rng.integers(0, 4, size=(8, 8, 8)).astype(np.int32)),
+    }
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, loss, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 1
+
+    bad = Trainer(model, loss_fn, PolyLR(0.5, 0.9, 100), mesh=mesh,
+                  donate=False, accum_steps=3)
+    with pytest.raises(ValueError, match="accum_steps"):
+        bad.train_step(state, batch, jax.random.PRNGKey(2))

@@ -72,6 +72,7 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         axis: str = "data",
         donate: bool = True,
+        accum_steps: int = 1,
     ):
         self.model = model
         self.loss_fn = loss_fn
@@ -82,6 +83,12 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_data_mesh()
         self.axis = axis
         self.donate = donate
+        # gradient accumulation: split each shard's batch into accum_steps
+        # microbatches chained through lax.scan — the activation-memory lever
+        # for big crops/models (grads averaged; BN running stats update
+        # sequentially per microbatch, the same semantics torch DDP grad
+        # accumulation has)
+        self.accum_steps = int(accum_steps)
         self._step_fn = self._build_step()
 
     # ------------------------------------------------------------------
@@ -108,26 +115,54 @@ class Trainer:
     def _build_step(self):
         axis = self.axis
 
+        accum = max(self.accum_steps, 1)
+
         def step(state: TrainState, batch, dropout_rng):
             # per-shard dropout streams (reference: per-rank seeds, train.py:37-42)
             dropout_rng = jax.random.fold_in(
                 dropout_rng, jax.lax.axis_index(axis)
             )
 
-            def loss_wrapped(params):
+            def loss_wrapped(params, stats, mb, rng):
                 outs, mutated = self.model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    batch["image"],
+                    {"params": params, "batch_stats": stats},
+                    mb["image"],
                     train=True,
                     mutable=["batch_stats"],
-                    rngs={"dropout": dropout_rng},
+                    rngs={"dropout": rng},
                 )
-                loss = self.loss_fn(outs, batch)
+                loss = self.loss_fn(outs, mb)
                 return loss, mutated["batch_stats"]
 
-            (loss, new_stats), grads = jax.value_and_grad(
-                loss_wrapped, has_aux=True
-            )(state.params)
+            grad_fn = jax.value_and_grad(loss_wrapped, has_aux=True)
+            if accum == 1:
+                (loss, new_stats), grads = grad_fn(
+                    state.params, state.batch_stats, batch, dropout_rng
+                )
+            else:
+                micro = jax.tree.map(
+                    lambda x: x.reshape(
+                        accum, x.shape[0] // accum, *x.shape[1:]
+                    ),
+                    batch,
+                )
+
+                def body(carry, xs):
+                    stats, gsum, lsum = carry
+                    mb, k = xs
+                    (l, stats), g = grad_fn(state.params, stats, mb, k)
+                    gsum = jax.tree.map(jnp.add, gsum, g)
+                    return (stats, gsum, lsum + l), None
+
+                zeros = jax.tree.map(jnp.zeros_like, state.params)
+                rngs = jax.random.split(dropout_rng, accum)
+                (new_stats, gsum, lsum), _ = jax.lax.scan(
+                    body,
+                    (state.batch_stats, zeros, jnp.zeros((), jnp.float32)),
+                    (micro, rngs),
+                )
+                grads = jax.tree.map(lambda g: g / accum, gsum)
+                loss = lsum / accum
             # DDP gradient allreduce (mean over data shards)
             grads = jax.lax.pmean(grads, axis)
             loss = jax.lax.pmean(loss, axis)
@@ -164,4 +199,14 @@ class Trainer:
     def train_step(self, state: TrainState, batch, dropout_rng):
         """batch: global batch dict with leading dim = global batch size
         (divisible by mesh size); returns (new_state, loss, lr)."""
+        if self.accum_steps > 1:
+            n_dev = self.mesh.devices.size
+            per_shard = next(
+                v.shape[0] for v in batch.values() if hasattr(v, "shape")
+            ) // n_dev
+            if per_shard % self.accum_steps:
+                raise ValueError(
+                    f"per-shard batch {per_shard} not divisible by "
+                    f"accum_steps {self.accum_steps}"
+                )
         return self._step_fn(state, batch, dropout_rng)

@@ -58,6 +58,10 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=12345)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32)")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation: split each shard's batch "
+                        "into N sequential microbatches (activation-memory "
+                        "lever for big crops)")
     p.add_argument("--device-augment", action="store_true",
                    help="run mirror/scale/crop/normalize on the TPU "
                         "(uniform-size datasets, e.g. Cityscapes)")
@@ -114,7 +118,10 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.bf16 else None
     model = build_model(cfg, axis_name="data", dtype=dtype)
-    loss_fn = build_loss_fn(cfg, num_shards=n_dev)
+    # OHEM min_kept follows the per-forward batch (the reference's per-GPU
+    # rule, train.py:48-52): with grad accumulation each forward sees
+    # batch / (devices * accum_steps) images
+    loss_fn = build_loss_fn(cfg, num_shards=n_dev * args.accum_steps)
     device_aug = None
     if args.device_augment:
         from .data.device_augment import make_device_augment
@@ -172,6 +179,7 @@ def main(argv=None):
         lr_schedule,
         sgd_momentum=cfg.momentum,
         mesh=mesh,
+        accum_steps=args.accum_steps,
     )
 
     # one host batch to shape-init
