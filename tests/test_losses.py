@@ -243,3 +243,34 @@ def test_dfn_border_ignore_label_config_driven():
         outs, {"label": jnp.asarray(label), "aux_label": jnp.asarray(aux7)}
     ))
     assert mismatched != pytest.approx(base, rel=1e-6)
+
+
+def test_losses_lower_gather_free():
+    """Perf regression guard: XLA lowers (N, C) row-gathers to a kCustom
+    dynamic-gather that cost 29 ms/head on v5e (docs/DESIGN.md round 2).
+    The losses must lower without any gather primitive."""
+    import jax
+    import jax.numpy as jnp
+
+    def _prims(jaxpr, acc):
+        for eqn in jaxpr.eqns:
+            acc.add(eqn.primitive.name)
+            for p in eqn.params.values():
+                if hasattr(p, "jaxpr"):
+                    _prims(p.jaxpr, acc)
+                if isinstance(p, (list, tuple)):
+                    for q in p:
+                        if hasattr(q, "jaxpr"):
+                            _prims(q.jaxpr, acc)
+        return acc
+
+    scores = jnp.zeros((2, 8, 8, 19), jnp.float32)
+    labels = jnp.zeros((2, 8, 8), jnp.int32)
+    for fn in (
+        lambda s, l: cross_entropy_with_ignore(s, l, 255),
+        lambda s, l: cross_entropy_with_ignore(
+            s, l, 255, class_weights=CITYSCAPES_CLASS_WEIGHTS),
+        lambda s, l: prob_ohem_cross_entropy(s, l, 255, min_kept=16),
+    ):
+        prims = _prims(jax.make_jaxpr(fn)(scores, labels).jaxpr, set())
+        assert "gather" not in prims, sorted(prims)
