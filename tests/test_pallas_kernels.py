@@ -147,3 +147,43 @@ def test_stem_conv7x7_s2_matches_xla():
     got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
     assert got.shape == want.shape == (1, h // 2, w // 2, cout)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_deploy_fused_argmax_epilogue_matches_reference_path():
+    """make_bisenet_fused_infer(argmax='fused') must predict the same classes
+    as the standard eval forward (log_softmax of the upsampled head)."""
+    import jax
+
+    from torchseg_tpu import models
+    from torchseg_tpu.deploy.fused_stem import make_bisenet_fused_infer
+
+    model = models.bisenet_r18(num_classes=19)  # non-speed: x8 main head
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 64, 128, 3)).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x), train=True,
+    )
+    want = np.asarray(
+        jnp.argmax(model.apply(variables, jnp.asarray(x), train=False),
+                   axis=-1)
+    )
+    infer = make_bisenet_fused_infer(model, variables, argmax="fused")
+    got = np.asarray(infer(jnp.asarray(x)))
+    assert got.shape == want.shape
+    assert (got == want).mean() > 0.999  # bilinear ties are measure-zero
+
+
+def test_deploy_fused_argmax_rejects_speed_heads():
+    import jax
+
+    from torchseg_tpu import models
+    from torchseg_tpu.deploy.fused_stem import make_bisenet_fused_infer
+
+    model = models.bisenet_r18(num_classes=19, speed=True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 128, 3)), train=True,
+    )
+    with pytest.raises(ValueError, match="fused"):
+        make_bisenet_fused_infer(model, variables, argmax="fused")

@@ -124,28 +124,49 @@ def _fused_stem_s2d(variables, xs, eps: float = 1e-5, pool: bool = False):
 
 
 def make_bisenet_fused_infer(model, variables, bn_eps: float = 1e-5,
-                             argmax: bool = False,
+                             argmax=False,
                              input_format: str = "nhwc"):
     """Jitted serving fn for a classic-stem (R18) BiSeNet: fused stems + the
     standard eval forward.
 
     input_format: 'nhwc' takes (1,H,W,3|8); 's2d' takes the pre-s2d'ed
-    (1,H/2,W/2,12) tensor from ``prepare_s2d_input`` (fastest on v5e)."""
+    (1,H/2,W/2,12) tensor from ``prepare_s2d_input`` (fastest on v5e).
+    argmax: False returns log-softmax scores; True argmaxes them; 'fused'
+    runs the main head WITHOUT the in-model x-scale upsample and produces
+    the full-res prediction with the Pallas fused upsample+argmax epilogue
+    (ops/pallas/upsample_argmax.py) — the (H, W, C) score tensor never
+    exists in HBM.  argmax(log_softmax(upsample(x))) == argmax of the fused
+    kernel because log_softmax is monotone per pixel and the upsample is the
+    same align-corners bilinear."""
+    scale = model.head_scales[2]
+    if argmax == "fused" and scale <= 1:
+        raise ValueError(
+            "argmax='fused' targets full-res heads (head_scales[2] > 1); "
+            "the .speed variants already emit /8 logits — use argmax=True"
+        )
 
     @jax.jit
     def infer(x):
+        raw = argmax == "fused"
         if input_format == "s2d":
             stem_outs = _fused_stem_s2d(variables, x, bn_eps)
             b, h2, w2, _ = x.shape
             dummy = jnp.zeros((b, h2 * 2, w2 * 2, 3), x.dtype)
             scores = model.apply(
-                variables, dummy, train=False, stem_outs=stem_outs
+                variables, dummy, train=False, stem_outs=stem_outs,
+                raw_logits=raw,
             )
         else:
             stem_outs = _fused_stem(variables, x, bn_eps)
             scores = model.apply(
-                variables, x, train=False, stem_outs=stem_outs
+                variables, x, train=False, stem_outs=stem_outs,
+                raw_logits=raw,
             )
+        if argmax == "fused":
+            from ..ops.pallas.upsample_argmax import fused_upsample_argmax
+
+            h, w = scores.shape[1:3]
+            return fused_upsample_argmax(scores, (h * scale, w * scale))
         if argmax:
             return jnp.argmax(scores, axis=-1).astype(jnp.int32)
         return scores

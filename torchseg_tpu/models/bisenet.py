@@ -99,13 +99,17 @@ class BiSeNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, stem_outs=None,
-                 spatial_out=None):
+                 spatial_out=None, raw_logits: bool = False):
         """stem_outs: optional (spatial_stem, backbone_stem) activations from
         the deploy-time fused stem — both 7x7/2 convs of the R18 variant run
         as ONE conv over the shared input (deploy/fused_stem.py).
         spatial_out: optional fully precomputed SpatialPath output (÷8,
         128ch) — the no-split serving path computes the whole spatial branch
-        outside with channel-extended kernels (deploy/fused_stem.py)."""
+        outside with channel-extended kernels (deploy/fused_stem.py).
+        raw_logits (eval only): return the main head's logits BEFORE the
+        final upsample/log_softmax — the deploy epilogue fuses
+        upsample+argmax in one Pallas kernel (ops/pallas/upsample_argmax.py),
+        so the full-res score tensor never touches HBM."""
         cc = self.conv_channel
         sp_stem, bb_stem, bb_pooled = (
             stem_outs if stem_outs is not None else (None, None, None)
@@ -167,10 +171,12 @@ class BiSeNet(nn.Module):
 
         main = BiSeNetHead(
             self.num_classes,
-            self.head_scales[2],
+            1 if raw_logits else self.head_scales[2],
             self.main_mid,
             norm=self.norm,
             dtype=self.dtype,
             name="head2",
         )(pred_out[2], train)
+        if raw_logits:
+            return main
         return jax.nn.log_softmax(main.astype(jnp.float32), axis=-1)
