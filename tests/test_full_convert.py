@@ -230,3 +230,18 @@ def test_xception_separable_forward_parity():
         want = bn(pw(dw(torch.from_numpy(x).permute(0, 3, 1, 2))))
         want = want.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_model_family_covers_registry():
+    """Every registry model must resolve to a rules family (the eval CLI's
+    --torch-checkpoint path; 'fcn32s_r101' used to KeyError)."""
+    from torchseg_tpu.models import MODEL_REGISTRY
+    from torchseg_tpu.utils.torch_convert import _MODEL_RULES, model_family
+
+    for name in MODEL_REGISTRY:
+        fam = model_family(name)
+        assert fam in _MODEL_RULES, (name, fam)
+    assert model_family("fcn32s_r101") == "fcn"
+    assert model_family("bisenet_x39") == "bisenet_x39"
+    with pytest.raises(KeyError):
+        model_family("segformer_b0")

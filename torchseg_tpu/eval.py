@@ -234,11 +234,9 @@ def main(argv=None):
     ev = None
 
     if args.torch_checkpoint:
-        from .utils.torch_convert import graft_full_checkpoint
+        from .utils.torch_convert import graft_full_checkpoint, model_family
 
-        family = cfg.model.split("_")[0]
-        if cfg.model == "bisenet_x39":
-            family = "bisenet_x39"
+        family = model_family(cfg.model)
         variables = graft_full_checkpoint(
             args.torch_checkpoint,
             {"params": template_vars["params"],

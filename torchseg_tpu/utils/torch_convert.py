@@ -360,6 +360,22 @@ _MODEL_RULES["bisenet_x39"] = [
 ] + _MODEL_RULES["bisenet"][1:]
 
 
+def model_family(model_name: str) -> str:
+    """Registry model name (e.g. 'fcn32s_r101', 'bisenet_x39') -> the key
+    into _MODEL_RULES."""
+    if model_name == "bisenet_x39":
+        return "bisenet_x39"
+    prefix = model_name.split("_")[0]
+    if prefix.startswith("fcn"):
+        return "fcn"
+    if prefix not in _MODEL_RULES:
+        raise KeyError(
+            f"no checkpoint mapping rules for model '{model_name}' "
+            f"(known: {sorted(_MODEL_RULES)})"
+        )
+    return prefix
+
+
 def map_model_key(torch_key: str, family: str):
     """-> (path_tuple, kind) into our variables tree, or None to skip.
 
