@@ -239,3 +239,25 @@ def test_ade_palette_matches_reference_color150():
     assert got[0] == [0, 0, 0]
     assert got[1:] == want
     assert len(got) == 151
+
+
+def test_prefetch_to_device_preserves_order_and_shards():
+    import jax
+    import jax.numpy as jnp
+
+    from torchseg_tpu.data.loader import prefetch_to_device
+    from torchseg_tpu.engine.trainer import make_data_mesh
+
+    mesh = make_data_mesh(jax.devices()[:4])
+    batches = [
+        {"image": np.full((8, 4, 4, 3), i, np.float32),
+         "label": np.full((8, 4, 4), i, np.int32),
+         "fn": [f"f{i}"] * 8}
+        for i in range(5)
+    ]
+    out = list(prefetch_to_device(iter(batches), mesh))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert set(b) == {"image", "label"}  # non-arrays filtered
+        assert float(b["image"][0, 0, 0, 0]) == i  # order preserved
+        assert len(b["image"].sharding.device_set) == 4

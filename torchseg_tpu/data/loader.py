@@ -103,3 +103,43 @@ class TrainLoader:
                 yield batch
         finally:
             stop.set()
+
+
+def prefetch_to_device(iterator, mesh, axis: str = "data", size: int = 2):
+    """Wrap a host-batch iterator so the NEXT batch's H2D transfer overlaps
+    the current step's compute (the device-side half of the input pipeline;
+    the reference relies on torch DataLoader pinned-memory prefetch).
+
+    Batches (dicts of numpy arrays) are placed sharded over the mesh's data
+    axis — exactly what `parallel.shard_batch` does per step, but ahead of
+    time.  jax transfers are async, so holding `size` device batches is
+    enough to hide the copy.
+    """
+    import collections
+
+    import numpy as np
+
+    from ..parallel import shard_batch
+
+    buf = collections.deque()
+
+    def _place(batch):
+        return shard_batch(
+            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
+            mesh,
+            axis,
+        )
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(_place(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(_place(next(it)))
+        except StopIteration:
+            pass
+        yield out

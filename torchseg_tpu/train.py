@@ -27,7 +27,6 @@ from .engine.logger import get_logger
 from .engine.lr_policy import PolyLR
 from .engine.optim import make_lr_mult_tree, make_wd_tree
 from .engine.trainer import Trainer, make_data_mesh
-from .parallel import shard_batch
 from .experiments.registry import (
     DATASETS,
     build_loss_fn,
@@ -225,18 +224,16 @@ def main(argv=None):
         logger.info("restored %s, resuming at epoch %d", args.continue_from,
                     start_epoch)
 
+    from .data.loader import prefetch_to_device
+
     rng = jax.random.PRNGKey(args.seed)
     for epoch in range(start_epoch, nepochs):
         loader.set_epoch(epoch)
         t0 = time.time()
-        for it, batch in enumerate(loader):
-            # place the global batch sharded over the mesh (the driver-side
-            # half of the DistributedSampler split)
-            batch_jnp = shard_batch(
-                {k: v for k, v in batch.items()
-                 if isinstance(v, np.ndarray)},
-                mesh,
-            )
+        # batches arrive already mesh-sharded, with the NEXT batch's H2D
+        # overlapping this step's compute (the DistributedSampler split +
+        # pinned-memory prefetch, TPU-style)
+        for it, batch_jnp in enumerate(prefetch_to_device(loader, mesh)):
             rng, step_rng = jax.random.split(rng)
             if device_aug is not None:
                 rng, aug_rng = jax.random.split(rng)
