@@ -63,3 +63,36 @@ def test_fused_infer_argmax_wrapper():
     np.testing.assert_array_equal(
         np.asarray(pred), np.asarray(jnp.argmax(scores, axis=-1))
     )
+
+
+def test_fused_stem_x39_matches_plain():
+    """X39's 3x3/2 ConvBnRelu stem center-embedded in the fused 7x7 conv
+    must match (both input formats).  Tolerance is looser than the R18
+    test: embedding the 3x3 in a 7x7 window changes the f32 accumulation
+    order, and the synthetic BN stats blow activations up to ~1e5."""
+    from torchseg_tpu.deploy.fused_stem import prepare_s2d_input
+
+    cfg = get_experiment("cityscapes.bisenet.X39.speed")
+    model = build_model(cfg, axis_name=None)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
+    stats = jax.tree.map(
+        lambda a: a + 0.3 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
+        / a.size,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 128, 3))
+    plain = model.apply(variables, x, train=False)
+    fused = make_bisenet_fused_infer(model, variables, cfg.bn_eps)(x)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(plain), rtol=1e-3, atol=1e-4
+    )
+    xs = prepare_s2d_input(np.asarray(x), dtype=jnp.float32)
+    fused_s2d = make_bisenet_fused_infer(
+        model, variables, cfg.bn_eps, input_format="s2d"
+    )(xs)
+    np.testing.assert_allclose(
+        np.asarray(fused_s2d), np.asarray(plain), rtol=1e-3, atol=1e-4
+    )

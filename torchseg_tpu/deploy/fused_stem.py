@@ -1,7 +1,8 @@
-"""Deploy-time graph specialization for BiSeNet-R18 inference.
+"""Deploy-time graph specialization for classic-stem BiSeNet inference
+(R18 and X39).
 
-Both the SpatialPath and the ResNet-18 context path start with a 7x7/2 conv
-over the SAME input.  Measured on v5e at 1024x2048 the stem conv is
+Both the SpatialPath and the context path start with a stride-2 conv
+over the SAME input (X39's 3x3 stem embeds centered in the 7x7 window).  Measured on v5e at 1024x2048 the stem conv is
 input-formatting-bound: one conv emitting 128 channels costs the same as one
 emitting 64 (2.24 vs 2.17 ms).  This module builds the serving function that
 
@@ -28,18 +29,42 @@ def fold_bn_affine(bn_params, bn_stats, eps: float = 1e-5):
     return a, b
 
 
-def _fused_stem(variables, x, eps: float = 1e-5):
-    """One conv for both 7x7/2 stems; returns (spatial_stem, backbone_stem)
-    post-BN+ReLU activations at ÷2 resolution."""
+def _stem_weights(variables, eps: float):
+    """Collect both stems' (kernel, affine) pairs, embedding a smaller
+    backbone stem kernel (Xception39's 3x3/2, models/xception.py) in the
+    center of the 7x7 window — numerically identical because both convs
+    stride 2 and the centered zero-padding reproduces the smaller conv's
+    pad-1 footprint."""
     p = variables["params"]
     s = variables["batch_stats"]
     k_sp = p["spatial_path"]["conv_7x7"]["conv"]["kernel"]
-    k_bb = p["backbone"]["conv1"]["kernel"]
     a_sp, b_sp = fold_bn_affine(
-        p["spatial_path"]["conv_7x7"]["bn"], s["spatial_path"]["conv_7x7"]["bn"],
-        eps,
+        p["spatial_path"]["conv_7x7"]["bn"],
+        s["spatial_path"]["conv_7x7"]["bn"], eps,
     )
-    a_bb, b_bb = fold_bn_affine(p["backbone"]["bn1"], s["backbone"]["bn1"], eps)
+    bb = p["backbone"]["conv1"]
+    if isinstance(bb, dict) and "conv" in bb:  # ConvBnRelu stem (xception)
+        k_bb = bb["conv"]["kernel"]
+        a_bb, b_bb = fold_bn_affine(
+            bb["bn"], s["backbone"]["conv1"]["bn"], eps
+        )
+    else:  # plain conv + separate bn1 (resnet classic stem)
+        k_bb = bb["kernel"]
+        a_bb, b_bb = fold_bn_affine(
+            p["backbone"]["bn1"], s["backbone"]["bn1"], eps
+        )
+    ks = k_sp.shape[0]
+    kb = k_bb.shape[0]
+    if kb < ks:
+        m = (ks - kb) // 2
+        k_bb = jnp.pad(k_bb, ((m, m), (m, m), (0, 0), (0, 0)))
+    return k_sp, a_sp, b_sp, k_bb, a_bb, b_bb
+
+
+def _fused_stem(variables, x, eps: float = 1e-5):
+    """One conv for both /2 stems; returns (spatial_stem, backbone_stem)
+    post-BN+ReLU activations at ÷2 resolution."""
+    k_sp, a_sp, b_sp, k_bb, a_bb, b_bb = _stem_weights(variables, eps)
 
     dtype = x.dtype
     kernel = jnp.concatenate([k_sp, k_bb], axis=-1).astype(dtype)
@@ -84,15 +109,7 @@ def _fused_stem_s2d(variables, xs, eps: float = 1e-5, pool: bool = False):
     needs no im2col relayout (1.18 ms vs 1.2 + 0.8 ms), but the s2d
     transpose must happen outside the graph (XLA pins it to a conv-hostile
     layout otherwise) — hence the input-format contract."""
-    p = variables["params"]
-    s = variables["batch_stats"]
-    k_sp = p["spatial_path"]["conv_7x7"]["conv"]["kernel"]
-    k_bb = p["backbone"]["conv1"]["kernel"]
-    a_sp, b_sp = fold_bn_affine(
-        p["spatial_path"]["conv_7x7"]["bn"], s["spatial_path"]["conv_7x7"]["bn"],
-        eps,
-    )
-    a_bb, b_bb = fold_bn_affine(p["backbone"]["bn1"], s["backbone"]["bn1"], eps)
+    k_sp, a_sp, b_sp, k_bb, a_bb, b_bb = _stem_weights(variables, eps)
 
     dtype = xs.dtype
     kernel = jnp.concatenate([k_sp, k_bb], axis=-1).astype(dtype)  # 7,7,3,128
