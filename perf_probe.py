@@ -175,6 +175,61 @@ def main():
         train_probe(args)
         return
 
+    if args.variant == "sliding":
+        # ss sliding-eval device time per 1024x2048 image (non-speed R18)
+        from torchseg_tpu.engine.evaluator import Evaluator
+        from torchseg_tpu.experiments.registry import (
+            build_model as _bm,
+            get_experiment as _ge,
+        )
+
+        cfg = _ge("cityscapes.bisenet.R18")
+        model = _bm(cfg, axis_name=None)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}
+        variables = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
+        ev = Evaluator(
+            lambda v, x: model.apply(v, x, train=False),
+            variables, cfg.num_classes, cfg.image_mean, cfg.image_std,
+            multi_scales=cfg.eval_scale_array, is_flip=cfg.eval_flip,
+            crop_size=cfg.eval_crop_size, stride_rate=cfg.eval_stride_rate,
+        )
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 255, (1024, 2048, 3)).astype(np.uint8)
+                for _ in range(3)]
+        ev.sliding_eval(imgs[0])  # compile
+        import shutil
+        import time as _t
+
+        shutil.rmtree("/tmp/probe_trace_sliding", ignore_errors=True)
+        t0 = _t.perf_counter()
+        with jax.profiler.trace("/tmp/probe_trace_sliding"):
+            for im in imgs:
+                ev.sliding_eval(im)
+        wall = (_t.perf_counter() - t0) / len(imgs) * 1000
+        import glob as _g
+
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+        path = sorted(
+            _g.glob("/tmp/probe_trace_sliding/plugins/profile/*/*.xplane.pb")
+        )[-1]
+        space = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            space.ParseFromString(f.read())
+        dev_total = 0.0
+        for plane in space.planes:
+            if "TPU" not in plane.name:
+                continue
+            for line in plane.lines:
+                if line.name == "XLA Modules":
+                    dev_total += sum(
+                        ev_.duration_ps / 1e9 for ev_ in line.events
+                    )
+        print(f"[sliding] {wall:.0f} ms/img wall, "
+              f"{dev_total / len(imgs):.0f} ms/img device")
+        return
+
     if args.variant == "augment":
         from torchseg_tpu.data.device_augment import make_device_augment
 
