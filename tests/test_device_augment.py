@@ -149,3 +149,36 @@ def test_make_device_augment_gt_down_shapes():
                          jnp.asarray(gts))
     assert out_img.shape == (2, 32, 64, 3)
     assert out_gt.shape == (2, 4, 8)
+
+
+def test_augment_lowers_gather_free():
+    """Perf regression guard: the five per-pixel gathers cost 100 ms/batch
+    on v5e; the separable interp-matrix formulation of augment_sample must
+    lower without any gather primitive (0.4 ms measured — docs/DESIGN.md
+    round 2).  (The batched wrapper keeps one tiny scale-table pick.)"""
+
+    def _prims(jaxpr, acc):
+        for eqn in jaxpr.eqns:
+            acc.add(eqn.primitive.name)
+            for p in eqn.params.values():
+                if hasattr(p, "jaxpr"):
+                    _prims(p.jaxpr, acc)
+                if isinstance(p, (list, tuple)):
+                    for q in p:
+                        if hasattr(q, "jaxpr"):
+                            _prims(q.jaxpr, acc)
+        return acc
+
+    params = AugmentParams(
+        jnp.asarray(True), jnp.asarray(1.5, jnp.float32),
+        jnp.asarray(3), jnp.asarray(5),
+    )
+    jaxpr = jax.make_jaxpr(
+        lambda img, gt: augment_sample(img, gt, params, (32, 64), MEAN, STD,
+                                       gt_down=8)
+    )(
+        jnp.zeros((40, 70, 3), jnp.uint8),
+        jnp.zeros((40, 70), jnp.uint8),
+    ).jaxpr
+    prims = _prims(jaxpr, set())
+    assert "gather" not in prims, sorted(prims)

@@ -80,7 +80,11 @@ def augment_sample(img_u8, gt, params: AugmentParams, crop_hw, mean, std,
     in_x = (x_s >= 0) & (x_s < sw)
     mask = in_y[:, None] & in_x[None, :]
 
-    # ---- image: bilinear (cv2 INTER_LINEAR half-pixel convention) ----
+    # ---- image: bilinear (cv2 INTER_LINEAR half-pixel convention),
+    # expressed SEPARABLY as two MXU matmuls with sparse interpolation
+    # matrices built by iota-compare — XLA lowers per-pixel gathers to
+    # kCustom dynamic-gathers that cost ~18 ms EACH at 1024x2048 on v5e
+    # (docs/DESIGN.md round 2), while the matmuls run in <1 ms ----
     yf = (y_s.astype(jnp.float32) + 0.5) / s - 0.5
     xf = (x_s.astype(jnp.float32) + 0.5) / s - 0.5
     xf = jnp.where(params.flip, (w - 1) - xf, xf)       # mirror source axis
@@ -88,17 +92,21 @@ def augment_sample(img_u8, gt, params: AugmentParams, crop_hw, mean, std,
     x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
     x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = jnp.clip(yf - y0, 0.0, 1.0)[:, None, None]
-    wx = jnp.clip(xf - x0, 0.0, 1.0)[None, :, None]
+    wy = jnp.clip(yf - y0, 0.0, 1.0)
+    wx = jnp.clip(xf - x0, 0.0, 1.0)
 
+    def interp_matrix(i0, i1, frac, n_src):
+        iota = jnp.arange(n_src)[None, :]
+        return (
+            (iota == i0[:, None]).astype(jnp.float32) * (1 - frac)[:, None]
+            + (iota == i1[:, None]).astype(jnp.float32) * frac[:, None]
+        )
+
+    wy_m = interp_matrix(y0, y1, wy, h)                 # (ch, h)
+    wx_m = interp_matrix(x0, x1, wx, w)                 # (cw, w)
     imgf = img_u8.astype(jnp.float32)
-    p00 = imgf[y0[:, None], x0[None, :]]
-    p01 = imgf[y0[:, None], x1[None, :]]
-    p10 = imgf[y1[:, None], x0[None, :]]
-    p11 = imgf[y1[:, None], x1[None, :]]
-    val = (1 - wy) * ((1 - wx) * p00 + wx * p01) + wy * (
-        (1 - wx) * p10 + wx * p11
-    )
+    val = jnp.einsum("ih,hwc->iwc", wy_m, imgf)
+    val = jnp.einsum("jw,iwc->ijc", wx_m, val)
     val = (val / 255.0 - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
         std, jnp.float32
     )
@@ -119,7 +127,12 @@ def augment_sample(img_u8, gt, params: AugmentParams, crop_hw, mean, std,
     gx = jnp.clip((x_sg * w) // jnp.maximum(sw, 1), 0, w - 1)
     # mirror(gt) then resize == index the mirrored source position
     gx = jnp.where(params.flip, (w - 1) - gx, gx)
-    out_gt = gt[gy[:, None], gx[None, :]].astype(jnp.int32)
+    # nearest = one-hot selection matmuls (same kCustom-gather avoidance as
+    # above; one-hot rows select exactly one integer, so the f32 matmul is
+    # exact for labels < 2^24)
+    ry = (jnp.arange(h)[None, :] == gy[:, None]).astype(jnp.float32)
+    rx = (jnp.arange(w)[None, :] == gx[:, None]).astype(jnp.float32)
+    out_gt = (ry @ gt.astype(jnp.float32) @ rx.T).astype(jnp.int32)
     out_gt = jnp.where(mask_g, out_gt, gt_pad)
     return out_img, out_gt
 
