@@ -139,16 +139,19 @@ def prob_ohem_cross_entropy(
     """
     scores = scores.astype(jnp.float32)
     b, h, w, c = scores.shape
-    flat_scores = scores.reshape(-1, c)
-    flat_labels = labels.reshape(-1)
-    n = flat_labels.shape[0]
+    n = b * h * w
 
-    valid = flat_labels != ignore_label
-    safe_labels = jnp.where(valid, flat_labels, 0)
+    # select the GT-class log-prob in NHWC and only flatten the resulting
+    # one-value-per-pixel maps (a bitcast): reshaping the (N, C) logits
+    # first costs ~9 ms of pad/slice/layout copies per step on v5e
+    valid4 = labels != ignore_label
+    safe4 = jnp.where(valid4, labels, 0)
+    logp4 = jax.nn.log_softmax(scores, axis=-1)
+    gt_logp = _select_class(logp4, safe4).reshape(-1)
+    valid = valid4.reshape(-1)
+    safe_labels = safe4.reshape(-1)
     num_valid = jnp.sum(valid)
 
-    logp = jax.nn.log_softmax(flat_scores, axis=-1)
-    gt_logp = _select_class(logp, safe_labels)
     gt_prob = jnp.exp(gt_logp)
     # invalid pixels get prob 1 (reference masked_fill_, loss_opr.py:83)
     gt_prob = jnp.where(valid, gt_prob, 1.0)
