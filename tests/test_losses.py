@@ -274,3 +274,20 @@ def test_losses_lower_gather_free():
     ):
         prims = _prims(jax.make_jaxpr(fn)(scores, labels).jaxpr, set())
         assert "gather" not in prims, sorted(prims)
+
+
+def test_kth_smallest_radix_exact():
+    """The radix select must return EXACTLY sorted[k-1] (bit-identical) —
+    including duplicates, zeros, and k at both ends."""
+    import jax.numpy as jnp
+
+    from torchseg_tpu.ops.losses import _kth_smallest_radix
+
+    rng = np.random.default_rng(0)
+    for n, k in [(1000, 1), (1000, 500), (1000, 1000), (4096, 137)]:
+        v = rng.random(n).astype(np.float32)
+        v[::7] = 0.0           # duplicates at zero
+        v[::11] = v[3]         # repeated value
+        want = np.sort(v)[k - 1]
+        got = float(_kth_smallest_radix(jnp.asarray(v), k))
+        assert np.float32(got) == np.float32(want), (n, k, got, want)
