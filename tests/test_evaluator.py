@@ -274,3 +274,80 @@ def test_show_image_dir_writes_composites(tmp_path):
     comp = cv2.imread(str(tmp_path / files[0]))
     # [img | sep | gt | sep | pred] horizontally: 3*16 + 2*3 columns
     assert comp.shape == (16, 3 * 16 + 2 * 3, 3)
+
+
+def test_msf_protocol_matches_reference_oracle():
+    """Full msf protocol (scales + flip + pad margins + score resize + sum +
+    argmax) against a numpy transcription of the reference evaluator loop
+    (evaluator.py:186-275) with a nonzero-mean normalize."""
+    import math
+
+    import cv2
+    import jax
+
+    from torchseg_tpu.data.transforms import pad_image_to_shape
+
+    mean = np.array([0.4, 0.5, 0.6], np.float32)
+    std = np.array([0.25, 0.3, 0.2], np.float32)
+
+    def apply_fn(variables, x):
+        # position+value dependent, flip-sensitive model
+        gray = jnp.mean(x, axis=-1)
+        col = jnp.broadcast_to(
+            jnp.linspace(-1.0, 1.0, x.shape[2])[None, None, :], gray.shape
+        )
+        return jnp.stack([gray + col, -gray, col * 0 + 0.1], axis=-1)
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 255, (37, 53, 3)).astype(np.uint8)
+    crop, stride_rate, scales = 32, 5 / 6, [0.5, 1.0, 1.5]
+
+    ev = Evaluator(apply_fn, {}, 3, mean, std, multi_scales=scales,
+                   is_flip=True, crop_size=crop, stride_rate=stride_rate)
+    got = ev.sliding_eval(img)
+
+    # ---- numpy oracle of the reference msf loop ----
+    def net(norm_img):
+        s = np.asarray(apply_fn({}, jnp.asarray(norm_img[None])))[0]
+        sf = np.asarray(
+            apply_fn({}, jnp.asarray(norm_img[:, ::-1][None]))
+        )[0][:, ::-1]
+        return np.exp(s + sf)
+
+    def process(sub):  # normalize then pad (reference process_image)
+        p = (sub.astype(np.float32) / 255.0 - mean) / std
+        p, m = pad_image_to_shape(p, crop, 0)
+        return p, m
+
+    total = np.zeros((*img.shape[:2], 3), np.float32)
+    for s in scales:
+        im_s = cv2.resize(img, None, fx=s, fy=s,
+                          interpolation=cv2.INTER_LINEAR)
+        long_size = max(im_s.shape[:2])
+        if long_size <= crop:
+            p, m = process(im_s)
+            score = net(p)
+            score = score[m[0]: score.shape[0] - m[1],
+                          m[2]: score.shape[1] - m[3]]
+        else:
+            stride = int(math.ceil(crop * stride_rate))
+            img_pad, margin = pad_image_to_shape(im_s, crop, 0)  # RAW pad
+            pr, pc = img_pad.shape[:2]
+            canvas = np.zeros((pr, pc, 3), np.float32)
+            for gy in range(int(math.ceil((pr - crop) / stride)) + 1):
+                for gx in range(int(math.ceil((pc - crop) / stride)) + 1):
+                    ey = min(gy * stride + crop, pr)
+                    ex = min(gx * stride + crop, pc)
+                    sy, sx = ey - crop, ex - crop
+                    p, _ = process(img_pad[sy:ey, sx:ex])
+                    canvas[sy:ey, sx:ex] += net(p)
+            score = canvas[margin[0]: pr - margin[1],
+                           margin[2]: pc - margin[3]]
+        total += np.asarray(
+            jax.image.resize(jnp.asarray(score),
+                             (*img.shape[:2], 3), method="linear")
+        )
+    want = total.argmax(-1)
+    agree = (got == want).mean()
+    assert agree == 1.0, agree
+
