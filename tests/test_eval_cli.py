@@ -1,0 +1,32 @@
+"""Eval-CLI integration: the --torch-checkpoint mIoU-parity protocol path
+(load reference .pth -> convert_model_state_dict -> graft -> evaluate) end
+to end with the ACTUAL reference FCN as the checkpoint source — the exact
+workflow round 3 runs against trained reference checkpoints."""
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+from torchseg_tpu.eval import main
+
+from test_ref_forward_parity import load_ref_network, randomize_
+
+
+def test_eval_torch_checkpoint_fcn(tmp_path):
+    ref = load_ref_network("fcn/voc.fcn32s.R101_v1c", 21)
+    t = ref.FCN(21, None, norm_layer=nn.BatchNorm2d).eval()
+    randomize_(t, seed=4)
+    ckpt = tmp_path / "epoch-60.pth"
+    torch.save({"model": t.state_dict()}, str(ckpt))
+
+    results = main([
+        "-e", "voc.fcn32s.R101_v1c", "--synthetic", "1",
+        "--torch-checkpoint", str(ckpt), "--log-dir", str(tmp_path / "log"),
+    ])
+    assert len(results) == 1
+    tag, miou = results[0]
+    assert tag == "torch"
+    assert np.isfinite(miou) and 0.0 <= miou <= 1.0
+    # the val log was written
+    logs = list((tmp_path / "log" / "voc.fcn32s.R101_v1c").glob("val_*.log"))
+    assert logs and "torch ckpt" in logs[0].read_text()
