@@ -146,14 +146,18 @@ def main():
     args = p.parse_args()
 
     parts = build(args)
+    err = None
     try:
         ms = measure_profiler(*parts)
-    except Exception:
-        ms = None
+    except Exception as e:
+        ms, err = None, e
     try:
         chain_ms = measure_chain(parts, args)
-    except Exception:
+    except Exception as e:
         chain_ms = None
+        if err is not None:
+            raise  # both estimators failed: surface the root cause
+        err = e
     primary = ms if ms is not None else chain_ms
     fps = 1000.0 / primary
     out = {

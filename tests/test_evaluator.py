@@ -351,3 +351,49 @@ def test_msf_protocol_matches_reference_oracle():
     agree = (got == want).mean()
     assert agree == 1.0, agree
 
+
+
+def test_multidevice_eval_forwards_submit_and_show(tmp_path):
+    """--submit/--show-image must work through the per-device worker path
+    (they were silently dropped before the round-2 review)."""
+    import jax as _jax
+
+    from torchseg_tpu.data.cityscapes import Cityscapes
+
+    ds = _NamedSynth(num_items=4, image_hw=(16, 16), num_classes=3)
+    ev = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD,
+                   devices=_jax.devices()[:2], max_batch=4)
+    ev.run_dataset(
+        ds, mode="whole", process_index=0, process_count=1,
+        submit_dir=str(tmp_path / "sub"),
+        transform_label=Cityscapes.transform_label,
+        show_image=str(tmp_path / "show"),
+        class_colors=[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        background=255,
+    )
+    import os
+
+    assert len(os.listdir(tmp_path / "sub")) == 4
+    assert len(os.listdir(tmp_path / "show")) == 4
+
+
+def test_show_image_with_downsampled_labels(tmp_path):
+    """Speed-protocol composites (gt/8 comparisons) must not crash on the
+    image/pred shape mismatch — the image is resized to the pred grid."""
+    ds = _NamedSynth(num_items=1, image_hw=(32, 32), num_classes=3)
+    ev = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD)
+    ev.run_dataset(
+        ds, mode="whole", process_index=0, process_count=1,
+        gt_down_sampling=4, resize_to=(32, 32),
+        show_image=str(tmp_path),
+        class_colors=[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        background=255,
+    )
+    import cv2
+    import os
+
+    files = os.listdir(tmp_path)
+    assert len(files) == 1
+    comp = cv2.imread(str(tmp_path / files[0]))
+    # pred grid is 8x8: [img | sep | gt | sep | pred] = 3*8 + 2*3 cols
+    assert comp.shape == (8, 3 * 8 + 2 * 3, 3)

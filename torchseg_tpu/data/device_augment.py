@@ -105,8 +105,12 @@ def augment_sample(img_u8, gt, params: AugmentParams, crop_hw, mean, std,
     wy_m = interp_matrix(y0, y1, wy, h)                 # (ch, h)
     wx_m = interp_matrix(x0, x1, wx, w)                 # (cw, w)
     imgf = img_u8.astype(jnp.float32)
-    val = jnp.einsum("ih,hwc->iwc", wy_m, imgf)
-    val = jnp.einsum("jw,iwc->ijc", wx_m, val)
+    # full precision: TPU matmuls default to bf16 inputs, which would break
+    # the cv2 parity of the f32 interpolation weights (same convention as
+    # ops/resize.py / ops/pool.py)
+    prec = jax.lax.Precision.HIGHEST
+    val = jnp.einsum("ih,hwc->iwc", wy_m, imgf, precision=prec)
+    val = jnp.einsum("jw,iwc->ijc", wx_m, val, precision=prec)
     val = (val / 255.0 - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
         std, jnp.float32
     )
@@ -128,11 +132,16 @@ def augment_sample(img_u8, gt, params: AugmentParams, crop_hw, mean, std,
     # mirror(gt) then resize == index the mirrored source position
     gx = jnp.where(params.flip, (w - 1) - gx, gx)
     # nearest = one-hot selection matmuls (same kCustom-gather avoidance as
-    # above; one-hot rows select exactly one integer, so the f32 matmul is
-    # exact for labels < 2^24)
+    # above; one-hot rows select exactly one integer, so the full-precision
+    # f32 matmul is exact for labels < 2^24)
+    prec = jax.lax.Precision.HIGHEST
     ry = (jnp.arange(h)[None, :] == gy[:, None]).astype(jnp.float32)
     rx = (jnp.arange(w)[None, :] == gx[:, None]).astype(jnp.float32)
-    out_gt = (ry @ gt.astype(jnp.float32) @ rx.T).astype(jnp.int32)
+    out_gt = jnp.matmul(
+        jnp.matmul(ry, gt.astype(jnp.float32), precision=prec),
+        rx.T,
+        precision=prec,
+    ).astype(jnp.int32)
     out_gt = jnp.where(mask_g, out_gt, gt_pad)
     return out_img, out_gt
 

@@ -497,7 +497,15 @@ class Evaluator:
         if show_image:
             from ..utils.visualize import show_img
 
-            comp = show_img(class_colors, background, img, label, pred)
+            im_show = img
+            if img.shape[:2] != pred.shape:
+                # speed-protocol experiments compare at gt/k resolution;
+                # bring the image down to the prediction grid for the overlay
+                im_show = cv2.resize(
+                    img, (pred.shape[1], pred.shape[0]),
+                    interpolation=cv2.INTER_LINEAR,
+                )
+            comp = show_img(class_colors, background, im_show, label, pred)
             if show_image == "window":
                 cv2.imshow("comp_image", comp)
                 cv2.waitKey(0)
@@ -523,6 +531,8 @@ class Evaluator:
         step = -(-len(my_indices) // n_dev)
         results = [None] * n_dev
 
+        extras = extras or {}
+
         def worker(slot, device, idxs):
             sub = Evaluator(
                 self.apply_fn,
@@ -534,12 +544,13 @@ class Evaluator:
                 is_flip=self.is_flip,
                 crop_size=self.crop_size,
                 stride_rate=self.stride_rate,
+                max_batch=self.max_batch,
             )
             acc = ConfusionAccumulator(self.num_classes)
             for idx in idxs:
                 pred, label = sub._eval_one(
                     dataset[idx], mode, gt_down_sampling, resize_to,
-                    label_offset, save_pred_dir,
+                    label_offset, save_pred_dir, **extras,
                 )
                 acc.update(pred, label)
             results[slot] = acc
