@@ -177,3 +177,19 @@ def test_psanet_forward_parity():
         t, models.psanet_r50(150, att_channels=3600), "psanet", (480, 480),
         tol=5e-4,
     )
+
+
+def test_pspnet_r101_forward_parity():
+    ref = load_ref_network("pspnet/ade.pspnet.R101_v1c", 150)
+    t = ref.PSPNet(150, None, norm_layer=nn.BatchNorm2d)
+    assert_forward_parity(t, models.pspnet_r101(150), "pspnet", (96, 96))
+
+
+@pytest.mark.slow
+def test_psanet_r101_forward_parity():
+    ref = load_ref_network("psanet/ade.psanet.R101_v1c", 150)
+    t = ref.PSPNet(150, None, norm_layer=nn.BatchNorm2d)
+    assert_forward_parity(
+        t, models.psanet_r101(150, att_channels=3600), "psanet", (480, 480),
+        tol=5e-4,
+    )
