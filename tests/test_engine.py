@@ -242,3 +242,12 @@ def test_grad_accumulation_smoke_with_bn_and_divisibility_error():
                   donate=False, accum_steps=3)
     with pytest.raises(ValueError, match="accum_steps"):
         bad.train_step(state, batch, jax.random.PRNGKey(2))
+
+
+def test_linear_increase_lr_matches_reference_formula():
+    from torchseg_tpu.engine.lr_policy import LinearIncreaseLR
+
+    lr = LinearIncreaseLR(0.001, 0.01, 10)
+    # reference lr_policy.py:41-49: start + i * (end-start)/warm
+    for i in (0, 3, 10, 15):
+        assert float(lr(i)) == pytest.approx(0.001 + i * 0.0009, rel=1e-6)
