@@ -153,11 +153,10 @@ def main():
         ms, err = None, e
     try:
         chain_ms = measure_chain(parts, args)
-    except Exception as e:
+    except Exception:
         chain_ms = None
         if err is not None:
             raise  # both estimators failed: surface the root cause
-        err = e
     primary = ms if ms is not None else chain_ms
     fps = 1000.0 / primary
     out = {

@@ -134,7 +134,6 @@ def augment_sample(img_u8, gt, params: AugmentParams, crop_hw, mean, std,
     # nearest = one-hot selection matmuls (same kCustom-gather avoidance as
     # above; one-hot rows select exactly one integer, so the full-precision
     # f32 matmul is exact for labels < 2^24)
-    prec = jax.lax.Precision.HIGHEST
     ry = (jnp.arange(h)[None, :] == gy[:, None]).astype(jnp.float32)
     rx = (jnp.arange(w)[None, :] == gx[:, None]).astype(jnp.float32)
     out_gt = jnp.matmul(
