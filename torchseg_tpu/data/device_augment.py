@@ -1,6 +1,6 @@
 """Device-side train augmentation — mirror/random-scale/random-crop-pad/
-normalize as ONE jittable gather per sample (SURVEY.md §7.6 "input pipeline to
-device-side transforms").
+normalize as separable, gather-free interpolation matmuls per sample
+(SURVEY.md §7.6 "input pipeline to device-side transforms").
 
 The reference burns 24 host worker processes on cv2 transforms
 (model/*/dataloader.py); here the host only decodes images (optionally padded
