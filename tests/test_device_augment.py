@@ -154,7 +154,7 @@ def test_make_device_augment_gt_down_shapes():
 def test_augment_lowers_gather_free():
     """Perf regression guard: the five per-pixel gathers cost 100 ms/batch
     on v5e; the separable interp-matrix formulation of augment_sample must
-    lower without any gather primitive (0.4 ms measured — docs/DESIGN.md
+    lower without any gather primitive (1.5 ms measured — docs/DESIGN.md
     round 2).  (The batched wrapper keeps one tiny scale-table pick.)"""
 
     def _prims(jaxpr, acc):
