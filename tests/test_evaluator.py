@@ -397,3 +397,21 @@ def test_show_image_with_downsampled_labels(tmp_path):
     comp = cv2.imread(str(tmp_path / files[0]))
     # pred grid is 8x8: [img | sep | gt | sep | pred] = 3*8 + 2*3 cols
     assert comp.shape == (8, 3 * 8 + 2 * 3, 3)
+
+
+def test_shard_crops_matches_single_device():
+    """The crop grid sharded over a 4-device mesh (psum-merged canvases)
+    must produce the same sliding prediction as the single-device path —
+    the 'long-context' eval parallelism (SURVEY §5)."""
+    import jax as _jax
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 255, (70, 150, 3)).astype(np.uint8)
+    kwargs = dict(multi_scales=[1.0, 1.5], crop_size=32, stride_rate=5 / 6,
+                  is_flip=True)
+    ev1 = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD, **kwargs)
+    evs = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD,
+                    devices=_jax.devices()[:4], shard_crops=True, **kwargs)
+    p1 = ev1.sliding_eval(img)
+    ps = evs.sliding_eval(img)
+    assert (p1 == ps).mean() > 0.999  # fp-order ties only

@@ -58,6 +58,7 @@ class Evaluator:
         stride_rate: float = 5 / 6,
         max_batch: int = 16,
         devices: Optional[Sequence] = None,
+        shard_crops: bool = False,
     ):
         self.apply_fn = apply_fn
         self.variables = variables
@@ -70,6 +71,13 @@ class Evaluator:
         self.stride_rate = stride_rate
         self.max_batch = max_batch
         self.devices = list(devices) if devices is not None else None
+        # shard_crops: instead of splitting IMAGES across devices (one
+        # worker per device), the devices team up on each image — the
+        # sliding crop grid is sharded over a mesh and the score canvases
+        # psum-merged (the 'long-context' parallelism of SURVEY §5: scaling
+        # input size, not batch)
+        self.shard_crops = bool(shard_crops) and self.devices is not None \
+            and len(self.devices) > 1
         self.logger = get_logger()
         self._jit_cache = {}
 
@@ -168,6 +176,79 @@ class Evaluator:
 
         self._jit_cache[key] = run
         return run
+
+    def _grid_fn_sharded(self, pad_shape, slots_per_dev, crop_size):
+        """Crop grid sharded over a device mesh: each device forwards its
+        share of the (padded) crop slots and scatter-adds into a local
+        canvas; one psum over ICI merges the canvases.  Single-image
+        latency scales with the mesh instead of the batch."""
+        key = ("gridsh", pad_shape, slots_per_dev, crop_size,
+               len(self.devices))
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        from jax import shard_map
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        flip = self.is_flip
+        cs = crop_size
+        nc = self.num_classes
+        mean = jnp.asarray(self.image_mean, jnp.float32)
+        std = jnp.asarray(self.image_std, jnp.float32)
+        mesh = Mesh(np.asarray(self.devices), ("crops",))
+        spd = slots_per_dev
+
+        def per_device(img_u8, coords, valid):
+            # img_u8/valid replicated; coords/valid-slot axis sharded
+            norm_img = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
+
+            def extract(k):
+                y, x = coords[k, 0], coords[k, 1]
+                return jax.lax.dynamic_slice(norm_img, (y, x, 0), (cs, cs, 3))
+
+            crops = jax.vmap(extract)(jnp.arange(spd))
+            if flip:
+                xb = jnp.concatenate([crops, crops[:, :, ::-1, :]])
+                s = self.apply_fn(self.variables, xb).astype(jnp.float32)
+                score = s[:spd] + s[spd:][:, :, ::-1, :]
+            else:
+                score = self.apply_fn(self.variables, crops).astype(
+                    jnp.float32
+                )
+            score = jnp.exp(score) * valid[:, None, None, None]
+
+            canvas = jnp.zeros((*pad_shape, nc), jnp.float32)
+
+            def body(k, canvas):
+                y, x = coords[k, 0], coords[k, 1]
+                cur = jax.lax.dynamic_slice(canvas, (y, x, 0), (cs, cs, nc))
+                return jax.lax.dynamic_update_slice(
+                    canvas, cur + score[k], (y, x, 0)
+                )
+
+            canvas = jax.lax.fori_loop(0, spd, body, canvas)
+            return jax.lax.psum(canvas, "crops")
+
+        sharded = shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), P("crops"), P("crops")),
+            out_specs=P(),
+            check_vma=False,
+        )
+        run = jax.jit(sharded)
+
+        def wrapper(img_u8, coords, valid):
+            sh_rep = NamedSharding(mesh, P())
+            sh_split = NamedSharding(mesh, P("crops"))
+            return run(
+                jax.device_put(img_u8, sh_rep),
+                jax.device_put(coords, sh_split),
+                jax.device_put(valid, sh_split),
+            )
+
+        self._jit_cache[key] = wrapper
+        return wrapper
 
     # ------------------------------------------------------------------
     # reference algorithms
@@ -346,21 +427,37 @@ class Evaluator:
                     coords.append((e_y - crop_size, e_x - crop_size))
 
             n_crops = len(coords)
-            # balanced chunks bounded by max_batch: caps peak activation
-            # memory while wasting < n_chunks padded slots (e.g. 19 crops
-            # at max_batch 16 -> 2 chunks of 10, one slot wasted)
-            n_chunks = -(-n_crops // self.max_batch)
-            chunk = -(-n_crops // n_chunks)
-            n_slots = n_chunks * chunk
-            coords = coords + [coords[0]] * (n_slots - n_crops)
-            run = self._grid_fn((pad_rows, pad_cols), n_chunks, chunk,
-                                crop_size)
-            raw = run(
-                self.variables,
-                jnp.asarray(img_pad, jnp.uint8),
-                jnp.asarray(coords, jnp.int32),
-                jnp.asarray(n_crops, jnp.int32),
-            )
+            if self.shard_crops:
+                n_dev = len(self.devices)
+                spd = -(-n_crops // n_dev)
+                n_slots = spd * n_dev
+                coords = coords + [coords[0]] * (n_slots - n_crops)
+                valid = np.zeros(n_slots, np.float32)
+                valid[:n_crops] = 1.0
+                run = self._grid_fn_sharded(
+                    (pad_rows, pad_cols), spd, crop_size
+                )
+                raw = run(
+                    jnp.asarray(img_pad, jnp.uint8),
+                    jnp.asarray(coords, jnp.int32),
+                    jnp.asarray(valid, jnp.float32),
+                )
+            else:
+                # balanced chunks bounded by max_batch: caps peak activation
+                # memory while wasting < n_chunks padded slots (e.g. 19
+                # crops at max_batch 16 -> 2 chunks of 10, one slot wasted)
+                n_chunks = -(-n_crops // self.max_batch)
+                chunk = -(-n_crops // n_chunks)
+                n_slots = n_chunks * chunk
+                coords = coords + [coords[0]] * (n_slots - n_crops)
+                run = self._grid_fn((pad_rows, pad_cols), n_chunks, chunk,
+                                    crop_size)
+                raw = run(
+                    self.variables,
+                    jnp.asarray(img_pad, jnp.uint8),
+                    jnp.asarray(coords, jnp.int32),
+                    jnp.asarray(n_crops, jnp.int32),
+                )
 
         finish = self._finish_fn(raw.shape, margin, tuple(ori_shape))
         score = finish(raw)
@@ -427,7 +524,8 @@ class Evaluator:
             show_image=show_image, class_colors=class_colors,
             background=background,
         )
-        if self.devices is not None and len(self.devices) > 1:
+        if (self.devices is not None and len(self.devices) > 1
+                and not self.shard_crops):
             return self._run_dataset_multidevice(
                 dataset, mode, gt_down_sampling, resize_to, save_pred_dir,
                 label_offset, pidx, pcnt, extras,

@@ -88,6 +88,11 @@ def build_argparser():
     p.add_argument("-d", "--devices", default=None,
                    help="local device selection, e.g. '0-3' or '*' "
                         "(reference eval.py -d)")
+    p.add_argument("--shard-crops", action="store_true",
+                   help="with -d: devices team up on each image (the "
+                        "sliding crop grid shards over the mesh, canvases "
+                        "psum-merged) instead of splitting images — lower "
+                        "single-image latency for big inputs")
     p.add_argument("-speed", "--speed", action="store_true",
                    help="run the FPS benchmark instead of accuracy eval")
     p.add_argument("--summary", action="store_true",
@@ -97,7 +102,8 @@ def build_argparser():
     return p
 
 
-def make_evaluator(cfg, variables, msf=False, devices=None):
+def make_evaluator(cfg, variables, msf=False, devices=None,
+                   shard_crops=False):
     model = build_model(cfg, axis_name=None)
 
     def apply_fn(v, x):
@@ -114,6 +120,7 @@ def make_evaluator(cfg, variables, msf=False, devices=None):
         crop_size=cfg.eval_crop_size,
         stride_rate=cfg.eval_stride_rate,
         devices=devices,
+        shard_crops=shard_crops,
     )
 
 
@@ -243,7 +250,8 @@ def main(argv=None):
              "batch_stats": template_vars["batch_stats"]},
             family,
         )
-        ev = make_evaluator(cfg, variables, msf=args.msf, devices=devices)
+        ev = make_evaluator(cfg, variables, msf=args.msf, devices=devices,
+                            shard_crops=args.shard_crops)
         acc = evaluate_checkpoint(cfg, variables, dataset, args.save_path,
                                   msf=args.msf, ev=ev,
                                   submit_dir=args.submit,
@@ -264,7 +272,8 @@ def main(argv=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if ev is None:
             ev = make_evaluator(cfg, variables, msf=args.msf,
-                                devices=devices)
+                                devices=devices,
+                                shard_crops=args.shard_crops)
         acc = evaluate_checkpoint(
             cfg, variables, dataset, args.save_path, msf=args.msf, ev=ev,
             submit_dir=args.submit, show_image=args.show_image,
