@@ -415,3 +415,23 @@ def test_shard_crops_matches_single_device():
     p1 = ev1.sliding_eval(img)
     ps = evs.sliding_eval(img)
     assert (p1 == ps).mean() > 0.999  # fp-order ties only
+
+
+def test_multidevice_worker_failure_is_loud():
+    """A crashed per-device worker must raise, not silently report a
+    partial-dataset mIoU (observed as a flaky AssertionError in the
+    multichip dryrun before this guard)."""
+    import jax as _jax
+
+    calls = {"n": 0}
+
+    def flaky_apply(variables, x):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("worker boom")
+        return _pixelwise_apply(variables, x)
+
+    ds = SyntheticDataset(num_items=4, image_hw=(16, 16), num_classes=3)
+    ev = Evaluator(flaky_apply, {}, 3, MEAN, STD, devices=_jax.devices()[:2])
+    with pytest.raises(RuntimeError, match="worker boom"):
+        ev.run_dataset(ds, mode="whole", process_index=0, process_count=1)

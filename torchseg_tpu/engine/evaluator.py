@@ -630,8 +630,15 @@ class Evaluator:
         results = [None] * n_dev
 
         extras = extras or {}
+        errors = [None] * n_dev
 
         def worker(slot, device, idxs):
+            try:
+                _worker(slot, device, idxs)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errors[slot] = e
+
+        def _worker(slot, device, idxs):
             sub = Evaluator(
                 self.apply_fn,
                 jax.device_put(self.variables, device),
@@ -661,6 +668,11 @@ class Evaluator:
             threads.append(t)
         for t in threads:
             t.join()
+        for e in errors:
+            if e is not None:
+                # a dead worker must fail loudly — silently dropping its
+                # shard would report a partial-dataset mIoU as the result
+                raise e
         acc = ConfusionAccumulator(self.num_classes)
         for r in results:
             if r is not None:
