@@ -284,7 +284,8 @@ def test_kth_smallest_radix_exact():
     from torchseg_tpu.ops.losses import _kth_smallest_radix
 
     rng = np.random.default_rng(0)
-    for n, k in [(1000, 1), (1000, 500), (1000, 1000), (4096, 137)]:
+    for n, k in [(1000, 1), (1000, 500), (1000, 1000), (4096, 137),
+                 (100000, 31337)]:
         v = rng.random(n).astype(np.float32)
         v[::7] = 0.0           # duplicates at zero
         v[::11] = v[3]         # repeated value
