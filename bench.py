@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 
-def build(args):
+def build(args, experiment=None, height=None, width=None):
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +39,7 @@ def build(args):
     )
     from torchseg_tpu.experiments.registry import build_model, get_experiment
 
-    cfg = get_experiment("cityscapes.bisenet.R18.speed")
+    cfg = get_experiment(experiment or args.experiment)
     dtype = None if args.f32 else jnp.bfloat16
     model = build_model(cfg, axis_name=None, dtype=dtype)
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
@@ -51,7 +51,8 @@ def build(args):
             else x,
             variables,
         )
-    h, w = args.height, args.width
+    h = height if height is not None else args.height
+    w = width if width is not None else args.width
 
     @jax.jit
     def infer(variables, xs):
@@ -143,6 +144,12 @@ def main():
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=2048)
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--experiment", default="cityscapes.bisenet.R18.speed",
+                   help="any classic/xception-stem BiSeNet speed experiment "
+                        "(e.g. cityscapes.bisenet.X39.speed)")
+    p.add_argument("--skip-x39", action="store_true",
+                   help="default runs also capture the X39.speed headline "
+                        "at its 768x1536 protocol; skip that extra bench")
     args = p.parse_args()
 
     parts = build(args)
@@ -153,14 +160,17 @@ def main():
         ms, err = None, e
     try:
         chain_ms = measure_chain(parts, args)
-    except Exception:
+    except Exception as chain_exc:
         chain_ms = None
         if err is not None:
-            raise  # both estimators failed: surface the root cause
+            # both estimators failed: surface the primary (profiler)
+            # failure as the root cause, chained to the fallback's
+            raise err from chain_exc
     primary = ms if ms is not None else chain_ms
     fps = 1000.0 / primary
+    tag = args.experiment.split(".")[-2].lower()  # R18 / X39
     out = {
-        "metric": "bisenet_r18_1024x2048_fps_per_chip",
+        "metric": f"bisenet_{tag}_{args.height}x{args.width}_fps_per_chip",
         "value": round(fps, 2),
         "unit": "FPS",
         "vs_baseline": round(fps / 200.0, 3),
@@ -169,6 +179,19 @@ def main():
         # secondary, conservative estimator: wall time of a serialized
         # chained loop (includes carry updates + loop overhead)
         out["chained_fps"] = round(1000.0 / chain_ms, 2)
+
+    if (args.experiment == "cityscapes.bisenet.R18.speed"
+            and not args.skip_x39):
+        # driver-visible X39 headline at its own protocol (reference
+        # model/bisenet/cityscapes.bisenet.X39.speed/eval.py): 768x1536,
+        # fused-stem deploy serving
+        try:
+            x39 = build(args, experiment="cityscapes.bisenet.X39.speed",
+                        height=768, width=1536)
+            x39_ms = measure_profiler(*x39)
+            out["x39_768x1536_fps"] = round(1000.0 / x39_ms, 2)
+        except Exception as e:
+            out["x39_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
 
 

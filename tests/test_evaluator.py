@@ -417,6 +417,83 @@ def test_shard_crops_matches_single_device():
     assert (p1 == ps).mean() > 0.999  # fp-order ties only
 
 
+def test_prefetch_failure_is_loud():
+    """The single-device lookahead thread must re-raise dataset errors in
+    the consumer, not hang or truncate the dataset silently."""
+
+    class Broken:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, idx):
+            if idx == 1:
+                raise OSError("corrupt png")
+            return {"image": np.zeros((16, 16, 3), np.uint8),
+                    "label": np.zeros((16, 16), np.int32), "fn": str(idx),
+                    "n": 3}
+
+    ev = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD)
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        ev.run_dataset(Broken(), mode="whole", process_index=0,
+                       process_count=1)
+
+
+def test_sliding_eval_scaled_imgs_equivalence():
+    """Prefetch-computed per-scale resizes must give the identical
+    prediction as the inline resize path."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    ev = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD,
+                   multi_scales=[0.75, 1.0, 1.25], crop_size=32)
+    import cv2
+
+    scaled = [cv2.resize(img, None, fx=s, fy=s,
+                         interpolation=cv2.INTER_LINEAR)
+              for s in ev.multi_scales]
+    np.testing.assert_array_equal(
+        ev.sliding_eval(img), ev.sliding_eval(img, scaled_imgs=scaled))
+
+
+def test_multidevice_rejects_window_show_image():
+    """cv2 GUI calls from per-device worker threads crash or deadlock —
+    the multi-device path must refuse show_image='window' loudly."""
+    import jax as _jax
+
+    ds = _NamedSynth(num_items=2, image_hw=(16, 16), num_classes=3)
+    ev = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD,
+                   devices=_jax.devices()[:2])
+    with pytest.raises(ValueError, match="thread-safe"):
+        ev.run_dataset(ds, mode="whole", process_index=0, process_count=1,
+                       show_image="window",
+                       class_colors=[[255, 0, 0]] * 3, background=255)
+
+
+def test_shard_crops_sees_reassigned_variables():
+    """The epoch sweep (eval.py evaluate_checkpoint) reuses one Evaluator
+    across checkpoints by reassigning ev.variables.  The sharded grid fn
+    must trace variables as a jit argument — a closure would bake the FIRST
+    checkpoint's weights into the compiled executable and silently evaluate
+    every later epoch with them (round-2 advisor finding, high)."""
+    import jax as _jax
+
+    def biased_apply(variables, x):
+        gray = jnp.mean(x, axis=-1) + variables["bias"]
+        return jnp.stack([gray, -gray, jnp.full_like(gray, 0.2)], axis=-1)
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (70, 150, 3)).astype(np.uint8)
+    kwargs = dict(multi_scales=[1.0], crop_size=32, stride_rate=5 / 6)
+    ev = Evaluator(biased_apply, {"bias": jnp.float32(0.0)}, 3, MEAN, STD,
+                   devices=_jax.devices()[:4], shard_crops=True, **kwargs)
+    p_zero = ev.sliding_eval(img)
+    # a large positive bias pushes every pixel's class-0 score above the
+    # constant class-2 score: prediction must become all-zeros
+    ev.variables = {"bias": jnp.float32(100.0)}
+    p_bias = ev.sliding_eval(img)
+    assert not np.array_equal(p_zero, p_bias)
+    assert (p_bias == 0).all()
+
+
 def test_multidevice_worker_failure_is_loud():
     """A crashed per-device worker must raise, not silently report a
     partial-dataset mIoU (observed as a flaky AssertionError in the

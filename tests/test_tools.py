@@ -43,3 +43,37 @@ def test_speed_deploy_guard_rejects_non_bisenet():
     with pytest.raises(SystemExit, match="classic-stem BiSeNet"):
         speed_main(["-e", "ade.pspnet.R50_v1c", "--input-size", "1x64x64x3",
                     "--chain", "1", "--reps", "1", "--deploy"])
+
+
+def test_collect_op_times_cpu_fallback():
+    """The per-op runtime report (the reference stat tool's duration table,
+    reporter.py:22-93) must work on the CPU backend too: thunk events stand
+    in for the TPU's 'XLA Ops' line."""
+    from torchseg_tpu.tools.profile import collect_op_times, top_ops_table
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=True)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    x = jnp.zeros((1, 32, 32, 3))
+    _, ops = collect_op_times(fwd, variables, x, runs=2)
+    assert ops, "no op events parsed from the xplane"
+    assert any("conv" in nm for nm in ops), sorted(ops)
+    table = top_ops_table(ops, n=5)
+    assert "ms" in table and "%" in table
+    # formatted rows: at most 5 + header + total
+    assert len(table.splitlines()) <= 7
+
+
+def test_speed_summary_prints_op_table(capsys):
+    """eval --summary path: params/FLOPs AND the top-op table."""
+    from torchseg_tpu.tools.speed import main as speed_main
+
+    speed_main(["-e", "cityscapes.bisenet.R18.speed",
+                "--input-size", "1x64x128x3", "--chain", "2", "--reps", "1"])
+    speed_main(["-e", "cityscapes.bisenet.R18.speed", "--summary",
+                "--input-size", "1x64x128x3", "--chain", "2", "--reps", "1"])
+    out = capsys.readouterr().out
+    assert "total params" in out
+    assert "top ops @" in out
+    assert "conv" in out

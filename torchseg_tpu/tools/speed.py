@@ -99,6 +99,17 @@ def main(argv=None):
         from .stats import print_stats
 
         print_stats(build_model(cfg, axis_name=None), shape)
+        # per-op runtime table from a short on-device trace — the reference
+        # stat tool's duration column (tools/benchmark/reporter.py:22-93)
+        try:
+            from .profile import print_op_report
+
+            fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+            x = jnp.zeros(shape, dtype or jnp.float32)
+            print(f"--- top ops @ {args.input_size} ---")
+            print_op_report(fwd, variables, x, runs=3, n=20)
+        except Exception as e:  # profiler unavailable (e.g. tunnel outage)
+            print(f"(per-op runtime table unavailable: {e})")
 
     apply_fn = model.apply
     tag = ""
