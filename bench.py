@@ -152,6 +152,7 @@ def main():
                         "at its 768x1536 protocol; skip that extra bench")
     args = p.parse_args()
 
+    t_start = time.time()
     parts = build(args)
     err = None
     try:
@@ -184,14 +185,22 @@ def main():
             and not args.skip_x39):
         # driver-visible X39 headline at its own protocol (reference
         # model/bisenet/cityscapes.bisenet.X39.speed/eval.py): 768x1536,
-        # fused-stem deploy serving
-        try:
-            x39 = build(args, experiment="cityscapes.bisenet.X39.speed",
-                        height=768, width=1536)
-            x39_ms = measure_profiler(*x39)
-            out["x39_768x1536_fps"] = round(1000.0 / x39_ms, 2)
-        except Exception as e:
-            out["x39_error"] = f"{type(e).__name__}: {e}"
+        # fused-stem deploy serving.  Strictly best-effort: if the R18 pass
+        # already burned most of the budget (cold compile cache or slow
+        # tunnel), skip rather than risk the whole bench timing out.
+        if time.time() - t_start > 300:
+            out["x39_skipped"] = (
+                f"R18 pass took {time.time() - t_start:.0f}s; skipping the "
+                "extra compile to stay inside the bench budget"
+            )
+        else:
+            try:
+                x39 = build(args, experiment="cityscapes.bisenet.X39.speed",
+                            height=768, width=1536)
+                x39_ms = measure_profiler(*x39)
+                out["x39_768x1536_fps"] = round(1000.0 / x39_ms, 2)
+            except Exception as e:
+                out["x39_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
 
 

@@ -83,6 +83,12 @@ def test_poly_lr():
     assert float(ms(50)) == pytest.approx(0.1)
     assert float(ms(150)) == pytest.approx(0.01)
     assert float(ms(250)) == pytest.approx(0.001)
+    # past the last boundary: deliberate divergence from the reference,
+    # which falls through its loop and returns None (lr_policy.py:29-38,
+    # an undefined-lr crash downstream); we hold the final stage lr.  No
+    # shipped experiment schedules past the last stage (round-2 Weak #6).
+    assert float(ms(300)) == pytest.approx(0.001)
+    assert float(ms(10_000)) == pytest.approx(0.001)
 
 
 def _make_tiny_model():

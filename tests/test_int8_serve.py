@@ -1,0 +1,148 @@
+"""Int8-through serving (deploy/int8_serve.py): the uint8-input, int8-
+activation BiSeNet-R18 graph must agree with the float graph — weight
+quantization is the only error source by construction (integer-exact input,
+BN/ReLU/requant folded into conv epilogues, exact int8 maxpool)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchseg_tpu import models
+from torchseg_tpu.deploy.int8_serve import (
+    _quant_w,
+    build_int8_package,
+    make_int8_through_infer,
+    prepare_s2d_input_u8,
+)
+from torchseg_tpu.deploy.quantize import calibrate
+
+MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _normalize(u8):
+    return (u8.astype(np.float32) / 255.0 - MEAN) / STD
+
+
+def _setup(seed=0, hw=(64, 128), factory=None):
+    model = (factory or models.bisenet_r18)(num_classes=19, speed=True)
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (1, *hw, 3)).astype(np.uint8)
+    xf = jnp.asarray(_normalize(img))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed),
+         "dropout": jax.random.PRNGKey(seed + 1)},
+        xf, train=True,
+    )
+    return model, variables, img, xf
+
+
+def test_quant_w_roundtrip_error_bound():
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(3, 3, 16, 8)).astype(np.float32)
+    wq, s = _quant_w(w)
+    err = np.abs(wq.astype(np.float32) * s - w)
+    # symmetric per-channel: error <= scale/2 = absmax/254 per channel
+    assert (err <= np.abs(w).max(axis=(0, 1, 2)) / 254 + 1e-7).all()
+
+
+def test_int8_through_matches_float_graph():
+    model, variables, img, xf = _setup()
+    stats = calibrate(model, variables, [xf])
+    pkg = build_int8_package(variables, stats,
+                             image_mean=MEAN, image_std=STD)
+    infer, run_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax=False, dtype=jnp.float32
+    )
+    xs = prepare_s2d_input_u8(img, image_mean=MEAN)
+    got = np.asarray(infer(run_pkg, xs), np.float32)
+    ref = np.asarray(model.apply(variables, xf, train=False), np.float32)
+    assert got.shape == ref.shape
+    # weight-quantization-only error: scores track the float graph closely
+    denom = max(np.std(ref), 1e-6)
+    rel = np.abs(got - ref).mean() / denom
+    assert rel < 0.15, rel
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.90, agree
+
+
+def test_int8_through_argmax_mode():
+    model, variables, img, xf = _setup(seed=5)
+    stats = calibrate(model, variables, [xf])
+    pkg = build_int8_package(variables, stats,
+                             image_mean=MEAN, image_std=STD)
+    infer, run_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax=True, dtype=jnp.float32
+    )
+    xs = prepare_s2d_input_u8(img, image_mean=MEAN)
+    pred = np.asarray(infer(run_pkg, xs))
+    assert pred.dtype == np.int32
+    assert pred.shape == (1, 8, 16)  # /8 logits of the speed head
+    assert (pred >= 0).all() and (pred < 19).all()
+
+
+def test_int8_through_x39_matches_float_graph():
+    """Xception39 body: int8 depthwise -> per-channel requant folded into
+    the quantized pointwise kernels."""
+    from torchseg_tpu.deploy.int8_serve import calibrate_channelwise
+
+    model, variables, img, xf = _setup(seed=2, factory=models.bisenet_x39)
+    stats = calibrate_channelwise(model, variables, [xf])
+    pkg = build_int8_package(variables, stats,
+                             image_mean=MEAN, image_std=STD)
+    assert pkg["kind"] == "x39"
+    infer, run_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax=False, dtype=jnp.float32
+    )
+    xs = prepare_s2d_input_u8(img, image_mean=MEAN)
+    got = np.asarray(infer(run_pkg, xs), np.float32)
+    ref = np.asarray(model.apply(variables, xf, train=False), np.float32)
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).mean() / max(np.std(ref), 1e-6)
+    assert rel < 0.2, rel
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.85, agree
+
+
+def test_int8_package_rejects_unsupported_backbone():
+    model = models.bisenet_r101(num_classes=19)
+    x = jnp.zeros((1, 64, 128, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True,
+    )
+    with pytest.raises(ValueError, match="matches neither"):
+        build_int8_package(variables, {}, image_mean=MEAN, image_std=STD)
+
+
+def test_x39_per_tensor_stats_is_actionable():
+    """The separable mid scales NEED channel vectors; a scalar-stats table
+    must fail with the pointer to calibrate_channelwise."""
+    from torchseg_tpu.deploy.quantize import calibrate as scalar_calibrate
+
+    model, variables, img, xf = _setup(seed=3, factory=models.bisenet_x39)
+    stats = scalar_calibrate(model, variables, [xf])
+    with pytest.raises(ValueError, match="calibrate_channelwise"):
+        build_int8_package(variables, stats, image_mean=MEAN, image_std=STD)
+
+
+def test_missing_calibration_key_is_actionable():
+    model, variables, _, _ = _setup(seed=7)
+    with pytest.raises(KeyError, match="calibration stats missing"):
+        build_int8_package(variables, {"bogus": 1.0},
+                           image_mean=MEAN, image_std=STD)
+
+
+def test_speed_cli_int8_through(capsys):
+    from torchseg_tpu.tools.speed import main as speed_main
+
+    res = speed_main(["-e", "cityscapes.bisenet.R18.speed",
+                      "--input-size", "1x64x128x3",
+                      "--chain", "1", "--reps", "1", "--int8-through"])
+    assert res["fps"] > 0
+    assert "[int8-through]" in capsys.readouterr().out
+    res = speed_main(["-e", "cityscapes.bisenet.X39.speed",
+                      "--input-size", "1x64x128x3",
+                      "--chain", "1", "--reps", "1", "--int8-through"])
+    assert res["fps"] > 0

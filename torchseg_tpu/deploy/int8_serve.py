@@ -1,0 +1,544 @@
+"""Int8-THROUGH serving for classic-stem BiSeNet (R18 and X39, incl. the
+.speed variants) — the latency path where activations stay int8 across
+layers.
+
+Round-2's generic per-conv PTQ (deploy/quantize.py) measured SLOWER than
+bf16 on v5e (8.1 vs 5.2 ms): every conv did float -> quantize -> int8 conv
+-> dequantize -> float, so the elementwise quant/dequant passes and doubled
+HBM traffic ate the 2x int8 MXU rate.  This module fixes the architecture
+of the quantization, not the kernels:
+
+  * the network INPUT is the raw uint8 image (s2d layout, -128 -> int8):
+    the /255-mean-std normalization folds into the stem conv weights and
+    the +128 shift into its bias — zero input-quantization error, half the
+    H2D bytes, and the stem conv (1.2 ms of the 4.74 ms bf16 graph) runs
+    at the int8 MXU rate;
+  * every body conv consumes int8 and PRODUCES int8: the eval-mode BN
+    affine, the ReLU, and the requantization to the consumer's scale all
+    fold into one per-channel multiply-add epilogue on the conv's int32
+    accumulator (XLA fuses it into the conv) — activations cross HBM as
+    int8, never as float;
+  * BasicBlock residuals are handled inside the conv2 epilogue: the int8
+    shortcut dequantizes with a scalar multiply into the f32 accumulator
+    units, the sum ReLUs and requantizes — still one fused epilogue;
+  * maxpool runs directly on int8 (max commutes with the monotone
+    quantization — bit-exact);
+  * the decoder (global context, ARMs, refines, FFM, head — ~20% of the
+    FLOPs, at /8 resolution and below) stays bf16 and reuses the standard
+    flax module via BiSeNet's ``context_blocks``/``spatial_out`` passthrough,
+    so its numerics are identical to the float graph.
+
+Weights: per-output-channel symmetric int8 (scale = absmax/127).
+Activations: per-edge symmetric scales from a float-graph calibration run
+(deploy/quantize.calibrate — conv-input absmax keyed by module path).
+
+Reference anchor: the reference has no quantization story (this is a
+beyond-parity serving capability); the north-star protocol it accelerates
+is model/bisenet/cityscapes.bisenet.R18.speed/eval.py:90-106.
+"""
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fused_stem import _stem_weights, fold_bn_affine
+
+
+# ----------------------------------------------------------------------
+# host-side precompute
+# ----------------------------------------------------------------------
+
+def _quant_w(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8 quantization of an HWIO kernel."""
+    w = np.asarray(w, np.float32)
+    s = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return wq, s
+
+
+def _scale(stats: Dict[str, float], path: str) -> float:
+    """Per-tensor activation scale; accepts scalar or per-channel stats."""
+    if path not in stats:
+        raise KeyError(
+            f"calibration stats missing conv input '{path}' — calibrate on "
+            f"the PLAIN model.apply graph (available: {sorted(stats)[:8]}...)"
+        )
+    return max(float(np.max(stats[path])), 1e-8) / 127.0
+
+
+def _scale_vec(stats: Dict[str, np.ndarray], path: str) -> np.ndarray:
+    """Per-CHANNEL activation scales (separable-conv mid tensors) —
+    requires calibrate_channelwise stats."""
+    if path not in stats:
+        raise KeyError(f"calibration stats missing conv input '{path}'")
+    v = np.asarray(stats[path], np.float32)
+    if v.ndim == 0:
+        raise ValueError(
+            f"'{path}' needs PER-CHANNEL calibration stats (the separable "
+            "mid scales fold into the pointwise kernel) — use "
+            "calibrate_channelwise, not deploy.quantize.calibrate"
+        )
+    return np.maximum(v, 1e-8) / 127.0
+
+
+def calibrate_channelwise(model, variables, batches, apply_kwargs=None
+                          ) -> Dict[str, np.ndarray]:
+    """Like deploy.quantize.calibrate but records the PER-CHANNEL absmax of
+    every nn.Conv input — per-channel mid scales fold into the next
+    (pointwise) kernel's input axis for free, which per-tensor scales
+    can't."""
+    from flax import linen as nn
+
+    apply_kwargs = dict(apply_kwargs or {})
+    stats: Dict[str, np.ndarray] = {}
+
+    def interceptor(next_fun, args, kwargs, context):
+        if (isinstance(context.module, nn.Conv)
+                and context.method_name == "__call__"):
+            path = "/".join(context.module.path)
+            a = np.asarray(
+                jnp.max(jnp.abs(args[0].astype(jnp.float32)),
+                        axis=tuple(range(args[0].ndim - 1)))
+            )
+            prev = stats.get(path)
+            stats[path] = a if prev is None else np.maximum(prev, a)
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        for x in batches:
+            model.apply(variables, jnp.asarray(x), train=False,
+                        **apply_kwargs)
+    return stats
+
+
+def _cbr_pack(params, bstats, eps, s_in, s_out):
+    """ConvBnRelu -> (wq int8, M, C) with q_out = clip(round(max(y32*M+C,0))).
+    s_out=None emits float (no requant): M,C are in real units."""
+    wq, s_w = _quant_w(params["conv"]["kernel"])
+    a, b = fold_bn_affine(params["bn"], bstats["bn"], eps)
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    m = s_in * s_w * a
+    c = b.copy()
+    if s_out is not None:
+        m, c = m / s_out, c / s_out
+    return {"w": jnp.asarray(wq), "m": jnp.asarray(m, jnp.float32),
+            "c": jnp.asarray(c, jnp.float32)}
+
+
+def _convbn_pack(kernel, bn_p, bn_s, eps, s_in, s_out):
+    """plain conv + separate bn (resnet blocks) -> (wq, M, C)."""
+    wq, s_w = _quant_w(kernel)
+    a, b = fold_bn_affine(bn_p, bn_s, eps)
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    m = s_in * s_w * a
+    c = b.copy()
+    if s_out is not None:
+        m, c = m / s_out, c / s_out
+    return {"w": jnp.asarray(wq), "m": jnp.asarray(m, jnp.float32),
+            "c": jnp.asarray(c, jnp.float32)}
+
+
+def _stem_pack(variables, eps, image_mean, image_std, s_sp_out, s_bb_out):
+    """Both 7x7/2 stems as ONE int8 4x4 s2d conv over the RAW uint8 image
+    (shifted to int8 by -128), with the /255-mean-std normalization folded
+    into the weights and the 128-shift into the bias.
+
+    conv(w, (u/255 - mean)/std) == conv(w / (255*std), u) + shift
+    with u = i8 + 128 -> conv(w', i8) + 128*sum(w') + shift, all per
+    output channel.  Everything lands in the epilogue bias."""
+    k_sp, a_sp, b_sp, k_bb, a_bb, b_bb = _stem_weights(variables, eps)
+    k = np.concatenate(
+        [np.asarray(k_sp, np.float32), np.asarray(k_bb, np.float32)], axis=-1
+    )  # (7,7,3,128)
+    mean = np.asarray(image_mean, np.float32)
+    std = np.asarray(image_std, np.float32)
+    # fold normalization per INPUT channel: conv(k, (u/255-mean)/std)
+    #   == conv(k/(255*std), i8) + sum_k k * (128/255 - mean)/std
+    kf = k / (255.0 * std)[None, None, :, None]
+    cshift = (128.0 / 255.0 - mean) / std
+    shift = np.einsum("hwio,i->o", k, cshift)
+    # s2d kernel transform (deploy/fused_stem._fused_stem_s2d): pad 7x7 to
+    # 8x8 top/left, regroup 2x2 space into channels -> (4,4,12,128)
+    kp = np.pad(kf, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    c = kp.shape[2]
+    cout = kp.shape[3]
+    wk = kp.reshape(4, 2, 4, 2, c, cout).transpose(0, 2, 1, 3, 4, 5)
+    wk = wk.reshape(4, 4, 4 * c, cout)
+    wq, s_w = _quant_w(wk)
+
+    a = np.concatenate([np.asarray(a_sp, np.float32),
+                        np.asarray(a_bb, np.float32)])
+    b = np.concatenate([np.asarray(b_sp, np.float32),
+                        np.asarray(b_bb, np.float32)])
+    n_sp = k_sp.shape[-1]
+    s_out = np.concatenate(
+        [np.full(n_sp, s_sp_out, np.float32),
+         np.full(cout - n_sp, s_bb_out, np.float32)]
+    )
+    # post-BN: z = (conv_f32 + shift) * a + b, with conv_f32 = y32 * s_w
+    # (the int8 input is integer-exact, so only weight quantization rounds);
+    # q = clip(round(max(y32 * (s_w*a) + (shift*a + b), 0) / s_out))
+    m = s_w * a / s_out
+    cc = (shift * a + b) / s_out
+    return {"w": jnp.asarray(wq), "m": jnp.asarray(m, jnp.float32),
+            "c": jnp.asarray(cc, jnp.float32), "n_sp": n_sp}
+
+
+def prepare_s2d_input_u8(img_u8, pads=((2, 1), (2, 1)),
+                         image_mean=(0.485, 0.456, 0.406)):
+    """Serving input prep for the int8-through graph: (1, H, W, 3) uint8 ->
+    pre-padded (1, H/2+ph, W/2+pw, 12) int8 (value-128) in the s2d channel
+    order.  The pad constant per channel is the int8 value closest to
+    normalized zero (round(255*mean)-128), matching the float graph's
+    zero-padding of the normalized image to <0.5/255 absolute error on the
+    border taps only."""
+    x = np.asarray(img_u8)
+    assert x.dtype == np.uint8, x.dtype
+    b, h, w, c = x.shape
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    xi = xs.astype(np.int16) - 128
+    padv = np.round(np.asarray(image_mean) * 255.0) - 128
+    padv = np.tile(padv, 4).astype(np.int16)  # s2d channel order (a,b,c)x4
+    (pt, pb), (pl, pr) = pads
+    out = np.empty((b, h // 2 + pt + pb, w // 2 + pl + pr, 4 * c), np.int16)
+    out[...] = padv
+    out[:, pt:pt + h // 2, pl:pl + w // 2, :] = xi
+    return jnp.asarray(np.clip(out, -128, 127).astype(np.int8))
+
+
+def _quant_w_depthwise(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(k, k, 1, C) depthwise kernel -> per-channel int8."""
+    w = np.asarray(w, np.float32)
+    s = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return wq, s
+
+
+def _sep_pack(blk_p, blk_s, eps, s_in, s_mid_vec, s_out):
+    """Xception separable (NO depthwise BN, xception.py:10-26):
+    int8 depthwise -> per-channel requant to the mid scales -> int8
+    pointwise (+BN) epilogue.  The per-channel mid scales fold into the
+    pointwise kernel's input axis before quantization, so they cost nothing
+    at runtime.  ReLU placement is static in the apply fn (sep1/sep2 fold
+    it into the epilogue; sep3/proj defer it past the residual add)."""
+    kdw = blk_p["depthwise"]["kernel"]
+    wq_dw, s_dw = _quant_w_depthwise(kdw)
+    m_dw = (s_in * s_dw / s_mid_vec).astype(np.float32)
+
+    kpw = np.asarray(blk_p["pointwise"]["conv"]["kernel"], np.float32)
+    kf = kpw * s_mid_vec[None, None, :, None]
+    wq_pw, s_pw = _quant_w(kf)
+    a, b = fold_bn_affine(blk_p["pointwise"]["bn"],
+                          blk_s["pointwise"]["bn"], eps)
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    m = s_pw * a
+    c = b.copy()
+    if s_out is not None:
+        m, c = m / s_out, c / s_out
+    return {"dw": jnp.asarray(wq_dw),
+            "dm": jnp.asarray(m_dw, jnp.float32),
+            "w": jnp.asarray(wq_pw),
+            "m": jnp.asarray(m, jnp.float32),
+            "c": jnp.asarray(c, jnp.float32)}
+
+
+# ----------------------------------------------------------------------
+# package builder
+# ----------------------------------------------------------------------
+
+def build_int8_package(variables, stats: Dict[str, float], *,
+                       eps: float = 1e-5,
+                       image_mean=(0.485, 0.456, 0.406),
+                       image_std=(0.229, 0.224, 0.225)):
+    """Precompute the int8-through parameter package for a classic-stem
+    BiSeNet-R18: quantized weights + fused epilogue multipliers/biases for
+    the stems, spatial path, and the ResNet-18 body.  ``stats`` is the
+    conv-input absmax table from deploy.quantize.calibrate on the plain
+    float graph."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    bb_p = p.get("backbone", {})
+    blk0 = bb_p.get("layer1_0", {})
+    if ("conv1" in blk0 and "bn1" in blk0 and "conv3" not in blk0
+            and "layer1_2" not in bb_p):
+        kind = "r18"
+    elif "sep1" in blk0:
+        kind = "x39"
+    else:
+        raise ValueError(
+            "int8-through serving supports the BasicBlock ResNet-18 and "
+            "Xception39 BiSeNet backbones (R101's Bottleneck body is not "
+            "packed); this param tree matches neither"
+        )
+
+    def st(path):
+        return _scale(stats, path)
+
+    pkg = {"kind": kind}
+    # activation scales at the stem outputs = the first consumers' inputs
+    s_sp = st("spatial_path/conv_3x3_1/conv")
+    bb_in_key = ("backbone/layer1_0/conv1" if kind == "r18"
+                 else "backbone/layer1_0/sep1/depthwise")
+    s_bb = st(bb_in_key)
+    pkg["stem"] = _stem_pack(variables, eps, image_mean, image_std,
+                             s_sp, s_bb)
+
+    # spatial path: 3x3/2, 3x3/2, 1x1 (last emits bf16 for the FFM)
+    sp = p["spatial_path"]
+    sps = s["spatial_path"]
+    s_mid1 = st("spatial_path/conv_3x3_2/conv")
+    s_mid2 = st("spatial_path/conv_1x1/conv")
+    pkg["sp1"] = _cbr_pack(sp["conv_3x3_1"], sps["conv_3x3_1"], eps,
+                           s_sp, s_mid1)
+    pkg["sp2"] = _cbr_pack(sp["conv_3x3_2"], sps["conv_3x3_2"], eps,
+                           s_mid1, s_mid2)
+    pkg["sp3"] = _cbr_pack(sp["conv_1x1"], sps["conv_1x1"], eps,
+                           s_mid2, None)
+
+    bb = p["backbone"]
+    bbs = s["backbone"]
+    if kind == "r18":
+        # resnet-18 body: 4 stages x 2 BasicBlocks
+        layers = [(1, 2), (2, 2), (3, 2), (4, 2)]
+        s_block_in = s_bb  # post-maxpool == stem scale (max is monotone)
+        for li, nblocks in layers:
+            for bi in range(nblocks):
+                name = f"layer{li}_{bi}"
+                blk = bb[name]
+                blks = bbs[name]
+                stride = 2 if (li > 1 and bi == 0) else 1
+                s_mid = st(f"backbone/{name}/conv2")
+                # block output scale = next consumer's input absmax; the
+                # last block (layer4_1) emits float for the decoder
+                if li == 4 and bi == nblocks - 1:
+                    s_out = None
+                elif bi + 1 < nblocks:
+                    s_out = st(f"backbone/layer{li}_{bi + 1}/conv1")
+                else:
+                    s_out = st(f"backbone/layer{li + 1}_0/conv1")
+                e = {
+                    "conv1": _convbn_pack(blk["conv1"]["kernel"], blk["bn1"],
+                                          blks["bn1"], eps, s_block_in,
+                                          s_mid),
+                    "conv2": _convbn_pack(blk["conv2"]["kernel"], blk["bn2"],
+                                          blks["bn2"], eps, s_mid, s_out),
+                    # identity-shortcut dequant ratio, in the conv2
+                    # epilogue's output units (real units when s_out None)
+                    "res_ratio": jnp.float32(
+                        s_block_in / (s_out if s_out is not None else 1.0)
+                    ),
+                    "stride": stride,
+                }
+                if "downsample_conv" in blk:
+                    e["down"] = _convbn_pack(
+                        blk["downsample_conv"]["kernel"],
+                        blk["downsample_bn"], blks["downsample_bn"], eps,
+                        s_block_in, s_out,
+                    )
+                pkg[f"l{li}_{bi}"] = e
+                if s_out is not None:
+                    s_block_in = s_out
+        # decoder needs dequantized c16 (arm1 input): layer3 output scale
+        pkg["s_c16"] = jnp.float32(st("backbone/layer4_0/conv1"))
+        return pkg
+
+    # xception-39 body: stages of (4, 8, 4) blocks, 3 separables + optional
+    # separable projection each (models/xception.py)
+    layers = [(1, 4), (2, 8), (3, 4)]
+    s_block_in = s_bb
+    for li, nblocks in layers:
+        for bi in range(nblocks):
+            name = f"layer{li}_{bi}"
+            blk = bb[name]
+            blks = bbs[name]
+            stride = 2 if bi == 0 else 1
+            if li == 3 and bi == nblocks - 1:
+                s_out = None
+            elif bi + 1 < nblocks:
+                s_out = st(f"backbone/layer{li}_{bi + 1}/sep1/depthwise")
+            else:
+                s_out = st(f"backbone/layer{li + 1}_0/sep1/depthwise")
+            s1_out = st(f"backbone/{name}/sep2/depthwise")
+            s2_out = st(f"backbone/{name}/sep3/depthwise")
+
+            def mid(sub):
+                return _scale_vec(
+                    stats, f"backbone/{name}/{sub}/pointwise/conv"
+                )
+
+            e = {
+                "sep1": _sep_pack(blk["sep1"], blks["sep1"], eps,
+                                  s_block_in, mid("sep1"), s1_out),
+                "sep2": _sep_pack(blk["sep2"], blks["sep2"], eps,
+                                  s1_out, mid("sep2"), s2_out),
+                "sep3": _sep_pack(blk["sep3"], blks["sep3"], eps,
+                                  s2_out, mid("sep3"), s_out),
+                "stride": stride,
+            }
+            if "proj" in blk:
+                e["proj"] = _sep_pack(blk["proj"], blks["proj"], eps,
+                                      s_block_in, mid("proj"), s_out)
+            else:
+                e["res_ratio"] = jnp.float32(
+                    s_block_in / (s_out if s_out is not None else 1.0)
+                )
+            pkg[f"l{li}_{bi}"] = e
+            if s_out is not None:
+                s_block_in = s_out
+    # decoder dequant scale for c16 (= layer2 output feeding layer3_0)
+    pkg["s_c16"] = jnp.float32(st("backbone/layer3_0/sep1/depthwise"))
+    return pkg
+
+
+# ----------------------------------------------------------------------
+# device-side forward pieces
+# ----------------------------------------------------------------------
+
+def _qconv(xq, wq, stride, pad):
+    return jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), [(pad, pad)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _requant(z):
+    return jnp.clip(jnp.round(z), -127, 127).astype(jnp.int8)
+
+
+def _apply_cbr(xq, e, stride, pad, emit_int8=True):
+    y = _qconv(xq, e["w"], stride, pad).astype(jnp.float32)
+    z = jnp.maximum(y * e["m"] + e["c"], 0.0)
+    return _requant(z) if emit_int8 else z
+
+
+def _apply_block(xq, e, stride, emit_int8=True):
+    """BasicBlock int8-through; returns int8 (or f32 on the final block)."""
+    q1 = _apply_cbr(xq, e["conv1"], stride, 1)
+    y2 = _qconv(q1, e["conv2"]["w"], 1, 1).astype(jnp.float32)
+    z = y2 * e["conv2"]["m"] + e["conv2"]["c"]
+    if "down" in e:
+        yd = _qconv(xq, e["down"]["w"], stride, 0).astype(jnp.float32)
+        z = z + yd * e["down"]["m"] + e["down"]["c"]
+    else:
+        z = z + xq.astype(jnp.float32) * e["res_ratio"]
+    z = jnp.maximum(z, 0.0)
+    return _requant(z) if emit_int8 else z
+
+
+def _qconv_dw(xq, wq, stride, pad):
+    """Depthwise int8 conv (feature_group_count = C)."""
+    return jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), [(pad, pad)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=xq.shape[-1],
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _apply_sep(xq, e, stride, relu=True, emit_int8=True, extra=None):
+    """Separable int8-through: depthwise -> per-channel requant ->
+    pointwise epilogue (+optional residual term ``extra`` in output units,
+    added before the ReLU like the reference's relu(shortcut + r))."""
+    ydw = _qconv_dw(xq, e["dw"], stride, 1).astype(jnp.float32)
+    q_mid = _requant(ydw * e["dm"])
+    ypw = _qconv(q_mid, e["w"], 1, 0).astype(jnp.float32)
+    z = ypw * e["m"] + e["c"]
+    if extra is not None:
+        z = z + extra
+    if relu:
+        z = jnp.maximum(z, 0.0)
+    return _requant(z) if emit_int8 else z
+
+
+def _apply_xblock(xq, e, stride, emit_int8=True):
+    """XceptionBlock int8-through: relu(shortcut + sep1>sep2>sep3)."""
+    r = _apply_sep(xq, e["sep1"], stride)
+    r = _apply_sep(r, e["sep2"], 1)
+    if "proj" in e:
+        short = _apply_sep(xq, e["proj"], stride, relu=False,
+                           emit_int8=False)
+    else:
+        short = xq.astype(jnp.float32) * e["res_ratio"]
+    return _apply_sep(r, e["sep3"], 1, relu=True, emit_int8=emit_int8,
+                      extra=short)
+
+
+def _maxpool_i8(xq):
+    """3x3/2 pad-1 maxpool directly on int8 — exact (max commutes with the
+    monotone quantization; identity element -128 never wins over the >=0
+    post-ReLU codes)."""
+    return jax.lax.reduce_window(
+        xq, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def make_int8_through_infer(model, variables, pkg, *, argmax: bool = True,
+                            dtype=jnp.bfloat16):
+    """Build the jitted int8-through serving function.
+
+    Returns ``(infer, run_pkg)``: call ``infer(run_pkg, xs_i8)`` with the
+    pre-padded int8 s2d input from ``prepare_s2d_input_u8``.  ``run_pkg`` is
+    the package with static structure (strides, split point) stripped so it
+    can be a jit argument — weights stay runtime inputs rather than
+    baked-in constants."""
+    kind = pkg.get("kind", "r18")
+    n_sp = int(pkg["stem"]["n_sp"])
+    strides = {name: pkg[name]["stride"]
+               for name in pkg if name.startswith("l")}
+    stages = ((1, 2), (2, 2), (3, 2), (4, 2)) if kind == "r18" \
+        else ((1, 4), (2, 8), (3, 4))
+    run_pkg = {
+        k: ({kk: vv for kk, vv in v.items() if kk not in ("stride", "n_sp")}
+            if isinstance(v, dict) else v)
+        for k, v in pkg.items() if k != "kind"
+    }
+
+    @jax.jit
+    def infer(pkg, xs):
+        stem = pkg["stem"]
+        y = _qconv(xs, stem["w"], 1, 0).astype(jnp.float32)
+        z = jnp.maximum(y * stem["m"] + stem["c"], 0.0)
+        q = _requant(z)
+        sp_q, bb_q = q[..., :n_sp], q[..., n_sp:]
+
+        # spatial path (int8 chain; last conv emits float for the FFM)
+        sq = _apply_cbr(sp_q, pkg["sp1"], 2, 1)
+        sq = _apply_cbr(sq, pkg["sp2"], 2, 1)
+        spatial_out = _apply_cbr(sq, pkg["sp3"], 1, 0, emit_int8=False)
+
+        # backbone body
+        x = _maxpool_i8(bb_q)
+        feats = []
+        apply_block = _apply_block if kind == "r18" else _apply_xblock
+        last_stage = stages[-1][0]
+        for li, nblocks in stages:
+            for bi in range(nblocks):
+                name = f"l{li}_{bi}"
+                last = li == last_stage and bi == nblocks - 1
+                x = apply_block(x, pkg[name], strides[name],
+                                emit_int8=not last)
+            feats.append(x)
+        # decoder handoff: the last stage already emits float; the
+        # next-to-last dequantizes (arm1 reads its values); earlier stages
+        # are shape-only in the decoder
+        c_last = feats[-1]
+        c_prev = feats[-2].astype(jnp.float32) * pkg["s_c16"]
+        blocks = tuple(
+            f.astype(dtype) for f in feats[:-2]
+        ) + (c_prev.astype(dtype), c_last.astype(dtype))
+        dummy = jnp.zeros((1, 1, 1, 3), dtype)  # unused: all paths precomputed
+        scores = model.apply(
+            variables, dummy, train=False,
+            spatial_out=spatial_out.astype(dtype),
+            context_blocks=blocks,
+        )
+        if argmax:
+            return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        return scores
+
+    return infer, run_pkg

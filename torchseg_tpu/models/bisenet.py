@@ -99,13 +99,18 @@ class BiSeNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, stem_outs=None,
-                 spatial_out=None, raw_logits: bool = False):
+                 spatial_out=None, context_blocks=None,
+                 raw_logits: bool = False):
         """stem_outs: optional (spatial_stem, backbone_stem) activations from
         the deploy-time fused stem — both 7x7/2 convs of the R18 variant run
         as ONE conv over the shared input (deploy/fused_stem.py).
         spatial_out: optional fully precomputed SpatialPath output (÷8,
         128ch) — the no-split serving path computes the whole spatial branch
         outside with channel-extended kernels (deploy/fused_stem.py).
+        context_blocks: optional precomputed backbone stage features in
+        FORWARD stage order (÷4.., ÷32 last, as the backbone returns them) —
+        the int8-through serving path (deploy/int8_serve.py) computes the
+        backbone outside and reuses this flax decoder in bf16.
         raw_logits (eval only): return the main head's logits BEFORE the
         final upsample/log_softmax — the deploy epilogue fuses
         upsample+argmax in one Pallas kernel (ops/pallas/upsample_argmax.py),
@@ -120,10 +125,11 @@ class BiSeNet(nn.Module):
                 x, train, stem_features=sp_stem
             )
 
-        context_blocks = list(
-            self.backbone(x, train, stem_features=bb_stem,
-                          stem_pooled=bb_pooled)
-        )
+        if context_blocks is None:
+            context_blocks = self.backbone(
+                x, train, stem_features=bb_stem, stem_pooled=bb_pooled
+            )
+        context_blocks = list(context_blocks)
         context_blocks.reverse()  # [÷32, ÷16, ÷8, (÷4)]
 
         gc = jnp.mean(context_blocks[0], axis=(1, 2), keepdims=True)

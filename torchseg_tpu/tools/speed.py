@@ -73,6 +73,11 @@ def main(argv=None):
                    help="post-training int8 quantization of the conv body "
                         "(deploy/quantize.py; calibrated on random inputs "
                         "here — real serving calibrates on val images)")
+    p.add_argument("--int8-through", action="store_true",
+                   help="int8-THROUGH serving graph (deploy/int8_serve.py): "
+                        "uint8 s2d input, int8 activations end-to-end "
+                        "through stems+spatial+backbone, bf16 decoder. "
+                        "BiSeNet R18/X39 [.speed] variants.")
     args = p.parse_args(argv)
 
     import jax
@@ -110,6 +115,64 @@ def main(argv=None):
             print_op_report(fwd, variables, x, runs=3, n=20)
         except Exception as e:  # profiler unavailable (e.g. tunnel outage)
             print(f"(per-op runtime table unavailable: {e})")
+
+    if args.int8_through:
+        from ..deploy.int8_serve import (
+            build_int8_package,
+            calibrate_channelwise,
+            make_int8_through_infer,
+            prepare_s2d_input_u8,
+        )
+
+        rng = np.random.default_rng(0)
+        mean = np.asarray(cfg.image_mean, np.float32)
+        std = np.asarray(cfg.image_std, np.float32)
+        imgs = [rng.integers(0, 255, shape).astype(np.uint8)
+                for _ in range(2)]
+        calib = [jnp.asarray((u.astype(np.float32) / 255.0 - mean) / std)
+                 for u in imgs]
+        stats = calibrate_channelwise(model, variables, calib)
+        try:
+            pkg = build_int8_package(
+                variables, stats, eps=cfg.bn_eps,
+                image_mean=cfg.image_mean, image_std=cfg.image_std,
+            )
+        except ValueError as e:
+            raise SystemExit(f"--int8-through: {e}")
+        infer, run_pkg = make_int8_through_infer(model, variables, pkg)
+        xs = prepare_s2d_input_u8(imgs[0], image_mean=cfg.image_mean)
+
+        @jax.jit
+        def chained(pkg, xs, seed):
+            def body(i, carry):
+                xs, acc = carry
+                pred = infer(pkg, xs)
+                acc = acc + pred[0, 0, 0]
+                # one-element int8 perturbation: inter-iteration dependency
+                # that defeats result caching without billing HBM traffic
+                delta = (acc % 2).astype(jnp.int8).reshape(1, 1, 1, 1)
+                xs = jax.lax.dynamic_update_slice(
+                    xs, xs[:1, :1, :1, :1] ^ delta, (0, 0, 0, 0)
+                )
+                return (xs, acc)
+
+            return jax.lax.fori_loop(
+                0, args.chain, body, (xs ^ seed, jnp.int32(0))
+            )[1]
+
+        int(chained(run_pkg, xs, jnp.int8(0)))
+        times = []
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            int(chained(run_pkg, xs, jnp.int8(r + 1)))
+            times.append(time.perf_counter() - t0)
+        dt = min(times) / args.chain
+        res = {"ms_per_iter": dt * 1000, "fps": 1.0 / dt}
+        print(
+            f"{args.experiment} [int8-through] @ {args.input_size}: "
+            f"{res['ms_per_iter']:.3f} ms/iter, {res['fps']:.1f} FPS"
+        )
+        return res
 
     apply_fn = model.apply
     tag = ""
