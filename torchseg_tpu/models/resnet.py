@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.blocks import NormFactory, default_norm
+from ..ops.maxpool import stem_pool
 from ..ops.s2d import S2DConv, use_s2d
 from ..utils.init import torch_default_kernel_init
 
@@ -181,8 +182,7 @@ class ResNet(nn.Module):
             x = norm("bn1")(x, use_running_average=not train)
             x = nn.relu(x)
         if stem_pooled is None:
-            x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                            padding=[(1, 1), (1, 1)])
+            x = stem_pool(x)
 
         inplanes = self.stem_width * 2 if self.deep_stem else 64
         planes = (64, 128, 256, 512)

@@ -22,6 +22,7 @@ from ..ops.blocks import (
     NormFactory,
     default_norm,
 )
+from ..ops.maxpool import stem_pool
 
 
 class XceptionBlock(nn.Module):
@@ -105,8 +106,7 @@ class Xception(nn.Module):
                 x = ConvBnRelu(
                     8, 3, 2, 1, norm=self.norm, dtype=self.dtype, name="conv1"
                 )(x, train)
-            x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                            padding=[(1, 1), (1, 1)])
+            x = stem_pool(x)
 
         feats = []
         for li, (blocks, mid) in enumerate(zip(self.layers, self.channels)):

@@ -145,12 +145,20 @@ def main(argv=None):
         float(acc)
         times.append(time.perf_counter() - t0)
     dt = min(times) / n_steps
+    peak_gb = None
+    try:  # HBM high-water (not available on all backends)
+        stats = jax.local_devices()[0].memory_stats()
+        peak_gb = stats.get("peak_bytes_in_use", 0) / 1024 ** 3
+    except Exception:
+        pass
     print(
         f"{args.experiment} bs={cfg.batch_size} "
         f"{cfg.image_height}x{cfg.image_width} on {n_dev} dev: "
         f"{dt * 1000:.1f} ms/step, {cfg.batch_size / dt:.1f} img/s"
+        + (f", peak HBM {peak_gb:.2f} GiB/dev" if peak_gb else "")
     )
-    return {"ms_per_step": dt * 1000, "img_per_s": cfg.batch_size / dt}
+    return {"ms_per_step": dt * 1000, "img_per_s": cfg.batch_size / dt,
+            "peak_hbm_gib": peak_gb}
 
 
 if __name__ == "__main__":
