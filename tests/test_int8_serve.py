@@ -146,3 +146,29 @@ def test_speed_cli_int8_through(capsys):
                       "--input-size", "1x64x128x3",
                       "--chain", "1", "--reps", "1", "--int8-through"])
     assert res["fps"] > 0
+
+
+def test_int8_package_save_load_roundtrip(tmp_path):
+    """Serving hosts load the prebuilt package instead of re-calibrating:
+    save -> load -> infer must match the freshly-built package exactly."""
+    from torchseg_tpu.deploy.int8_serve import (
+        load_int8_package,
+        save_int8_package,
+    )
+
+    model, variables, img, xf = _setup(seed=9)
+    stats = calibrate(model, variables, [xf])
+    pkg = build_int8_package(variables, stats,
+                             image_mean=MEAN, image_std=STD)
+    path = save_int8_package(str(tmp_path / "r18.int8pkg"), pkg)
+    pkg2 = load_int8_package(path)
+    assert pkg2["kind"] == pkg["kind"]
+    assert pkg2["stem"]["n_sp"] == pkg["stem"]["n_sp"]
+
+    infer1, run1 = make_int8_through_infer(model, variables, pkg,
+                                           argmax=True, dtype=jnp.float32)
+    infer2, run2 = make_int8_through_infer(model, variables, pkg2,
+                                           argmax=True, dtype=jnp.float32)
+    xs = prepare_s2d_input_u8(img, image_mean=MEAN)
+    np.testing.assert_array_equal(np.asarray(infer1(run1, xs)),
+                                  np.asarray(infer2(run2, xs)))

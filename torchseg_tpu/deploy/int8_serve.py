@@ -88,28 +88,39 @@ def calibrate_channelwise(model, variables, batches, apply_kwargs=None
     """Like deploy.quantize.calibrate but records the PER-CHANNEL absmax of
     every nn.Conv input — per-channel mid scales fold into the next
     (pointwise) kernel's input axis for free, which per-tensor scales
-    can't."""
+    can't.
+
+    The whole recording forward is jitted (the interceptor contributes
+    traced absmax OUTPUTS, not side effects): one compiled dispatch per
+    calibration batch instead of one per op — eager op-by-op calibration
+    through the dev tunnel's ~35 ms dispatch took minutes."""
     from flax import linen as nn
 
     apply_kwargs = dict(apply_kwargs or {})
-    stats: Dict[str, np.ndarray] = {}
 
-    def interceptor(next_fun, args, kwargs, context):
-        if (isinstance(context.module, nn.Conv)
-                and context.method_name == "__call__"):
-            path = "/".join(context.module.path)
-            a = np.asarray(
-                jnp.max(jnp.abs(args[0].astype(jnp.float32)),
-                        axis=tuple(range(args[0].ndim - 1)))
-            )
+    @jax.jit
+    def run(x):
+        rec = {}
+
+        def interceptor(next_fun, args, kwargs, context):
+            if (isinstance(context.module, nn.Conv)
+                    and context.method_name == "__call__"):
+                path = "/".join(context.module.path)
+                a = jnp.max(jnp.abs(args[0].astype(jnp.float32)),
+                            axis=tuple(range(args[0].ndim - 1)))
+                rec[path] = jnp.maximum(rec[path], a) if path in rec else a
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
+            model.apply(variables, x, train=False, **apply_kwargs)
+        return rec
+
+    stats: Dict[str, np.ndarray] = {}
+    for x in batches:
+        rec = jax.device_get(run(jnp.asarray(x)))
+        for path, a in rec.items():
             prev = stats.get(path)
             stats[path] = a if prev is None else np.maximum(prev, a)
-        return next_fun(*args, **kwargs)
-
-    with nn.intercept_methods(interceptor):
-        for x in batches:
-            model.apply(variables, jnp.asarray(x), train=False,
-                        **apply_kwargs)
     return stats
 
 
@@ -183,7 +194,14 @@ def _stem_pack(variables, eps, image_mean, image_std, s_sp_out, s_bb_out):
     m = s_w * a / s_out
     cc = (shift * a + b) / s_out
     return {"w": jnp.asarray(wq), "m": jnp.asarray(m, jnp.float32),
-            "c": jnp.asarray(cc, jnp.float32), "n_sp": n_sp}
+            "c": jnp.asarray(cc, jnp.float32), "n_sp": n_sp,
+            # bf16-stem variant (chip finding: the 12-channel int8 stem
+            # conv runs SLOWER than bf16 — 1.76 vs 1.2 ms — so the default
+            # serving graph keeps the stem conv bf16 over the same uint8
+            # input and folds the int8 quantization into its epilogue)
+            "wf": jnp.asarray(wk, jnp.bfloat16),
+            "mf": jnp.asarray(a / s_out, jnp.float32),
+            "cf": jnp.asarray((shift * a + b) / s_out, jnp.float32)}
 
 
 def prepare_s2d_input_u8(img_u8, pads=((2, 1), (2, 1)),
@@ -393,6 +411,48 @@ def build_int8_package(variables, stats: Dict[str, float], *,
     return pkg
 
 
+_STATIC_KEYS = ("kind", "stride", "n_sp")
+
+
+def save_int8_package(path: str, pkg: dict) -> str:
+    """Persist a built package (quantized weights + epilogue constants) —
+    serving hosts load this instead of re-calibrating.  msgpack via
+    flax.serialization, like engine/checkpoint.py; the static structure
+    fields travel in a plain side dict."""
+    from flax import serialization
+
+    statics = {"kind": pkg.get("kind", "r18"),
+               "n_sp": int(pkg["stem"]["n_sp"]),
+               "strides": {k: int(v["stride"]) for k, v in pkg.items()
+                           if isinstance(v, dict) and "stride" in v}}
+    arrays = {
+        k: ({kk: vv for kk, vv in v.items() if kk not in _STATIC_KEYS}
+            if isinstance(v, dict) else v)
+        for k, v in pkg.items() if k != "kind"
+    }
+    arrays = jax.tree.map(np.asarray, arrays)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize({"statics": statics,
+                                                 "arrays": arrays}))
+    return path
+
+
+def load_int8_package(path: str) -> dict:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    statics, arrays = blob["statics"], blob["arrays"]
+    pkg = dict(arrays)
+    pkg["kind"] = str(statics["kind"])
+    pkg["stem"] = dict(pkg["stem"])
+    pkg["stem"]["n_sp"] = int(statics["n_sp"])
+    for k, stride in statics["strides"].items():
+        pkg[k] = dict(pkg[k])
+        pkg[k]["stride"] = int(stride)
+    return pkg
+
+
 # ----------------------------------------------------------------------
 # device-side forward pieces
 # ----------------------------------------------------------------------
@@ -478,7 +538,7 @@ def _maxpool_i8(xq):
 
 
 def make_int8_through_infer(model, variables, pkg, *, argmax: bool = True,
-                            dtype=jnp.bfloat16):
+                            dtype=jnp.bfloat16, stem_mode: str = "bf16"):
     """Build the jitted int8-through serving function.
 
     Returns ``(infer, run_pkg)``: call ``infer(run_pkg, xs_i8)`` with the
@@ -501,8 +561,21 @@ def make_int8_through_infer(model, variables, pkg, *, argmax: bool = True,
     @jax.jit
     def infer(pkg, xs):
         stem = pkg["stem"]
-        y = _qconv(xs, stem["w"], 1, 0).astype(jnp.float32)
-        z = jnp.maximum(y * stem["m"] + stem["c"], 0.0)
+        if stem_mode == "bf16":
+            # bf16 stem conv over the same int8 input (cast is free in the
+            # conv's input handling); int8 quantization fused into the
+            # epilogue.  Chip profile: the 12-ch int8 stem conv is slower
+            # than bf16 (1.76 vs 1.2 ms) — int8 starts at the body.
+            y = jax.lax.conv_general_dilated(
+                xs.astype(jnp.bfloat16), stem["wf"], (1, 1),
+                [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            z = jnp.maximum(y * stem["mf"] + stem["cf"], 0.0)
+        else:
+            y = _qconv(xs, stem["w"], 1, 0).astype(jnp.float32)
+            z = jnp.maximum(y * stem["m"] + stem["c"], 0.0)
         q = _requant(z)
         sp_q, bb_q = q[..., :n_sp], q[..., n_sp:]
 

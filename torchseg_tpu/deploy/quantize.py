@@ -52,22 +52,34 @@ def _is_conv_call(context) -> bool:
 
 def calibrate(model, variables, batches: Iterable, apply_kwargs=None
               ) -> Dict[str, float]:
-    """Run the float graph eagerly over representative batches, recording the
-    absmax of every conv input.  Returns {conv_path: absmax}."""
+    """Run the float graph over representative batches, recording the absmax
+    of every conv input.  Returns {conv_path: absmax}.
+
+    The recording forward is jitted (the interceptor contributes traced
+    absmax OUTPUTS): one compiled dispatch per batch instead of one per op
+    — eager calibration through the dev tunnel took minutes."""
     apply_kwargs = dict(apply_kwargs or {})
+
+    @jax.jit
+    def run(x):
+        rec = {}
+
+        def interceptor(next_fun, args, kwargs, context):
+            if _is_conv_call(context):
+                path = _path_str(context.module)
+                a = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                rec[path] = jnp.maximum(rec[path], a) if path in rec else a
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
+            model.apply(variables, x, train=False, **apply_kwargs)
+        return rec
+
     stats: Dict[str, float] = {}
-
-    def interceptor(next_fun, args, kwargs, context):
-        if _is_conv_call(context):
-            path = _path_str(context.module)
-            a = float(jnp.max(jnp.abs(args[0].astype(jnp.float32))))
-            stats[path] = max(stats.get(path, 0.0), a)
-        return next_fun(*args, **kwargs)
-
-    with nn.intercept_methods(interceptor):
-        for x in batches:
-            model.apply(variables, jnp.asarray(x), train=False,
-                        **apply_kwargs)
+    for x in batches:
+        rec = jax.device_get(run(jnp.asarray(x)))
+        for path, a in rec.items():
+            stats[path] = max(stats.get(path, 0.0), float(a))
     return stats
 
 
