@@ -1,1 +1,13 @@
-from .fused_stem import make_bisenet_fused_infer, fold_bn_affine
+from .fused_stem import (
+    fold_bn_affine,
+    make_bisenet_fused_infer,
+    prepare_s2d_input,
+)
+from .int8_serve import (
+    build_int8_package,
+    calibrate_channelwise,
+    load_int8_package,
+    make_int8_through_infer,
+    prepare_s2d_input_u8,
+    save_int8_package,
+)

@@ -22,6 +22,11 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--remat", dest="remat", action="store_true",
+                   default=None,
+                   help="force jax.checkpoint on backbone blocks (A/B the "
+                        "activation-memory/recompute trade)")
+    p.add_argument("--no-remat", dest="remat", action="store_false")
     args = p.parse_args(argv)
 
     import jax
@@ -51,6 +56,8 @@ def main(argv=None):
         )
     if args.batch_size:
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    if args.remat is not None:
+        cfg = dataclasses.replace(cfg, remat=args.remat)
 
     mesh = make_data_mesh()
     n_dev = mesh.devices.size
