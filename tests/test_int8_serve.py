@@ -172,3 +172,53 @@ def test_int8_package_save_load_roundtrip(tmp_path):
     xs = prepare_s2d_input_u8(img, image_mean=MEAN)
     np.testing.assert_array_equal(np.asarray(infer1(run1, xs)),
                                   np.asarray(infer2(run2, xs)))
+
+
+def test_int8_through_pspnet_matches_float_graph():
+    """The dilated Bottleneck backbone (deep stem, os8) int8-through +
+    bf16 PPM head must track the float PSPNet graph."""
+    from torchseg_tpu.deploy.int8_serve import (
+        build_int8_backbone_package,
+        calibrate_channelwise,
+        make_int8_pspnet_infer,
+        prepare_u8_input,
+    )
+
+    model = models.pspnet_r50(num_classes=21)
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 255, (1, 64, 128, 3)).astype(np.uint8)
+    xf = jnp.asarray(_normalize(img))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        xf, train=True,
+    )
+    stats = calibrate_channelwise(model, variables, [xf])
+    pkg = build_int8_backbone_package(variables, stats, depth=50,
+                                     image_mean=MEAN, image_std=STD)
+    assert pkg["kind"] == "bottleneck50"
+    infer, run_pkg = make_int8_pspnet_infer(model, variables, pkg,
+                                            argmax=False, dtype=jnp.float32)
+    xs = prepare_u8_input(img, image_mean=MEAN)
+    got = np.asarray(infer(run_pkg, xs), np.float32)
+    ref = np.asarray(model.apply(variables, xf, train=False), np.float32)
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).mean() / max(np.std(ref), 1e-6)
+    assert rel < 0.25, rel
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.85, agree
+
+
+def test_int8_backbone_rejects_classic_stem():
+    from torchseg_tpu.deploy.int8_serve import build_int8_backbone_package
+    from torchseg_tpu.models.resnet import resnet18
+
+    bb = resnet18()  # classic stem
+    x = jnp.zeros((1, 64, 64, 3))
+    v = bb.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="deep-stem"):
+        build_int8_backbone_package(
+            {"params": {"backbone": v["params"]},
+             "batch_stats": {"backbone": v["batch_stats"]}},
+            {}, depth=50, image_mean=MEAN, image_std=STD)

@@ -414,6 +414,203 @@ def build_int8_package(variables, stats: Dict[str, float], *,
 _STATIC_KEYS = ("kind", "stride", "n_sp")
 
 
+# ----------------------------------------------------------------------
+# dilated Bottleneck backbones (PSPNet/PSANet/DFN: resnet50/101 v1c os8)
+# ----------------------------------------------------------------------
+
+RESNET_LAYERS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+DILATED = {"strides": (1, 2, 1, 1), "dilations": (1, 1, 2, 4)}
+
+
+def build_int8_backbone_package(variables, stats, *, depth: int,
+                                eps: float = 1e-5,
+                                image_mean=(0.485, 0.456, 0.406),
+                                image_std=(0.229, 0.224, 0.225),
+                                strides=DILATED["strides"],
+                                dilations=DILATED["dilations"]):
+    """Int8-through package for a v1c deep-stem dilated Bottleneck ResNet
+    under ``params['backbone']`` — the shared body of PSPNet/PSANet/DFN.
+
+    Stem: uint8 (value-128) NHWC input, stem_conv1 runs bf16 with the
+    normalization folded (same chip finding as the BiSeNet stem: tiny-C
+    int8 convs lose), int8 from its epilogue onward (stem_conv2/3 and the
+    whole Bottleneck body int8; the /8 dilated stages keep their exact
+    strides/dilations).  The final stage emits float for the bf16 head."""
+    p = variables["params"]["backbone"]
+    s = variables["batch_stats"]["backbone"]
+    if "stem_conv1" not in p:
+        raise ValueError(
+            "build_int8_backbone_package expects a v1c deep-stem resnet "
+            "(params['backbone']['stem_conv1'])"
+        )
+    layers = RESNET_LAYERS[depth]
+
+    def st(path):
+        return _scale(stats, path)
+
+    mean = np.asarray(image_mean, np.float32)
+    std = np.asarray(image_std, np.float32)
+    pkg = {"kind": f"bottleneck{depth}"}
+
+    # --- deep stem ---
+    k1 = np.asarray(p["stem_conv1"]["kernel"], np.float32)  # (3,3,3,32)
+    kf = k1 / (255.0 * std)[None, None, :, None]
+    cshift = (128.0 / 255.0 - mean) / std
+    shift = np.einsum("hwio,i->o", k1, cshift)
+    a1, b1 = fold_bn_affine(p["stem_bn1"], s["stem_bn1"], eps)
+    a1, b1 = np.asarray(a1, np.float32), np.asarray(b1, np.float32)
+    s_c2 = st("backbone/stem_conv2")
+    pkg["stem1"] = {
+        "wf": jnp.asarray(kf, jnp.bfloat16),
+        "m": jnp.asarray(a1 / s_c2, jnp.float32),
+        "c": jnp.asarray((shift * a1 + b1) / s_c2, jnp.float32),
+    }
+    s_c3 = st("backbone/stem_conv3")
+    pkg["stem2"] = _convbn_pack(p["stem_conv2"]["kernel"], p["stem_bn2"],
+                                s["stem_bn2"], eps, s_c2, s_c3)
+    s_l1 = st("backbone/layer1_0/conv1")
+    pkg["stem3"] = _convbn_pack(p["stem_conv3"]["kernel"], p["bn1"],
+                                s["bn1"], eps, s_c3, s_l1)
+
+    # --- bottleneck body ---
+    s_block_in = s_l1  # post-maxpool (max is monotone)
+    for li in range(4):
+        nblocks = layers[li]
+        stride = strides[li]
+        dilation = dilations[li]
+        first_dil = max(dilation // 2, 1) if dilation > 1 else 1
+        for bi in range(nblocks):
+            name = f"layer{li + 1}_{bi}"
+            blk = p[name]
+            blks = s[name]
+            is_first = bi == 0
+            last = li == 3 and bi == nblocks - 1
+            s_m1 = st(f"backbone/{name}/conv2")
+            s_m2 = st(f"backbone/{name}/conv3")
+            if last:
+                s_out = None
+            elif bi + 1 < nblocks:
+                s_out = st(f"backbone/layer{li + 1}_{bi + 1}/conv1")
+            else:
+                s_out = st(f"backbone/layer{li + 2}_0/conv1")
+            e = {
+                "conv1": _convbn_pack(blk["conv1"]["kernel"], blk["bn1"],
+                                      blks["bn1"], eps, s_block_in, s_m1),
+                "conv2": _convbn_pack(blk["conv2"]["kernel"], blk["bn2"],
+                                      blks["bn2"], eps, s_m1, s_m2),
+                "conv3": _convbn_pack(blk["conv3"]["kernel"], blk["bn3"],
+                                      blks["bn3"], eps, s_m2, s_out),
+                "res_ratio": jnp.float32(
+                    s_block_in / (s_out if s_out is not None else 1.0)
+                ),
+                "stride": stride if is_first else 1,
+                "dilation": first_dil if is_first else dilation,
+            }
+            if "downsample_conv" in blk:
+                e["down"] = _convbn_pack(
+                    blk["downsample_conv"]["kernel"], blk["downsample_bn"],
+                    blks["downsample_bn"], eps, s_block_in, s_out,
+                )
+            pkg[f"l{li + 1}_{bi}"] = e
+            if s_out is not None:
+                s_block_in = s_out
+    pkg["s_c16"] = jnp.float32(st(f"backbone/layer4_0/conv1"))
+    pkg["layers"] = layers
+    return pkg
+
+
+def prepare_u8_input(img_u8, pad: int = 1,
+                     image_mean=(0.485, 0.456, 0.406)):
+    """(1, H, W, 3) uint8 -> pre-padded (1, H+2p, W+2p, 3) int8 (value-128)
+    for the deep-stem int8 path; pad constant = the int8 code closest to
+    normalized zero (matches the float graph's zero-padding to <0.5/255)."""
+    x = np.asarray(img_u8)
+    assert x.dtype == np.uint8, x.dtype
+    b, h, w, c = x.shape
+    padv = (np.round(np.asarray(image_mean) * 255.0) - 128).astype(np.int16)
+    out = np.empty((b, h + 2 * pad, w + 2 * pad, c), np.int16)
+    out[...] = padv
+    out[:, pad:pad + h, pad:pad + w, :] = x.astype(np.int16) - 128
+    return jnp.asarray(np.clip(out, -128, 127).astype(np.int8))
+
+
+def _apply_bottleneck(xq, e, stride, dilation, emit_int8=True):
+    """Bottleneck int8-through (1x1 -> 3x3 s/d -> 1x1 + shortcut, relu)."""
+    q1 = _apply_cbr(xq, e["conv1"], 1, 0)
+    q2 = _apply_cbr(q1, e["conv2"], stride, dilation, dilation=dilation)
+    y3 = _qconv(q2, e["conv3"]["w"], 1, 0).astype(jnp.float32)
+    z = y3 * e["conv3"]["m"] + e["conv3"]["c"]
+    if "down" in e:
+        yd = _qconv(xq, e["down"]["w"], stride, 0).astype(jnp.float32)
+        z = z + yd * e["down"]["m"] + e["down"]["c"]
+    else:
+        z = z + xq.astype(jnp.float32) * e["res_ratio"]
+    z = jnp.maximum(z, 0.0)
+    return _requant(z) if emit_int8 else z
+
+
+def make_int8_backbone_fn(pkg, dtype=jnp.bfloat16):
+    """Returns ``run(run_pkg, x_i8) -> tuple of 4 stage features`` (last
+    two in ``dtype``, earlier int8 — shape-only for most heads) plus the
+    stripped run package.  Feed the result to a head via the model's
+    ``context_blocks`` passthrough."""
+    layers = pkg["layers"]
+    statics = {k: (v["stride"], v["dilation"]) for k, v in pkg.items()
+               if isinstance(v, dict) and "stride" in v}
+    run_pkg = {
+        k: ({kk: vv for kk, vv in v.items()
+             if kk not in ("stride", "dilation")}
+            if isinstance(v, dict) else v)
+        for k, v in pkg.items() if k not in ("kind", "layers")
+    }
+
+    def run(pkg, x_i8):
+        # stem: bf16 conv1 (normalization folded) -> int8 from epilogue on
+        s1 = pkg["stem1"]
+        y = jax.lax.conv_general_dilated(
+            x_i8.astype(jnp.bfloat16), s1["wf"], (2, 2), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        q = _requant(jnp.maximum(y * s1["m"] + s1["c"], 0.0))
+        q = _apply_cbr(q, pkg["stem2"], 1, 1)
+        q = _apply_cbr(q, pkg["stem3"], 1, 1)
+        x = _maxpool_i8(q)
+        feats = []
+        for li in range(4):
+            for bi in range(layers[li]):
+                name = f"l{li + 1}_{bi}"
+                stride, dilation = statics[name]
+                last = li == 3 and bi == layers[li] - 1
+                x = _apply_bottleneck(x, pkg[name], stride, dilation,
+                                      emit_int8=not last)
+            feats.append(x)
+        c16_f = (feats[2].astype(jnp.float32) * pkg["s_c16"]).astype(dtype)
+        return (feats[0], feats[1], c16_f, feats[3].astype(dtype))
+
+    return run, run_pkg
+
+
+def make_int8_pspnet_infer(model, variables, pkg, *, argmax: bool = True,
+                           dtype=jnp.bfloat16):
+    """Jitted int8-through PSPNet serving: int8 dilated backbone + bf16 PPM
+    head via the ``context_blocks`` passthrough.  Input: pre-padded int8
+    from ``prepare_u8_input``."""
+    run_bb, run_pkg = make_int8_backbone_fn(pkg, dtype)
+
+    @jax.jit
+    def infer(pkg, x_i8):
+        blocks = run_bb(pkg, x_i8)
+        dummy = jnp.zeros((1, 1, 1, 3), dtype)
+        scores = model.apply(variables, dummy, train=False,
+                             context_blocks=blocks)
+        if argmax:
+            return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        return scores
+
+    return infer, run_pkg
+
+
 def save_int8_package(path: str, pkg: dict) -> str:
     """Persist a built package (quantized weights + epilogue constants) —
     serving hosts load this instead of re-calibrating.  msgpack via
@@ -457,9 +654,10 @@ def load_int8_package(path: str) -> dict:
 # device-side forward pieces
 # ----------------------------------------------------------------------
 
-def _qconv(xq, wq, stride, pad):
+def _qconv(xq, wq, stride, pad, dilation=1):
     return jax.lax.conv_general_dilated(
         xq, wq, (stride, stride), [(pad, pad)] * 2,
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
@@ -469,8 +667,8 @@ def _requant(z):
     return jnp.clip(jnp.round(z), -127, 127).astype(jnp.int8)
 
 
-def _apply_cbr(xq, e, stride, pad, emit_int8=True):
-    y = _qconv(xq, e["w"], stride, pad).astype(jnp.float32)
+def _apply_cbr(xq, e, stride, pad, emit_int8=True, dilation=1):
+    y = _qconv(xq, e["w"], stride, pad, dilation).astype(jnp.float32)
     z = jnp.maximum(y * e["m"] + e["c"], 0.0)
     return _requant(z) if emit_int8 else z
 

@@ -88,8 +88,13 @@ class PSPNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        blocks = self.backbone(x, train)
+    def __call__(self, x, train: bool = False, context_blocks=None):
+        """context_blocks: optional precomputed backbone stage features in
+        forward order — the int8-through serving path
+        (deploy/int8_serve.py) computes the dilated backbone outside and
+        reuses this flax head in bf16."""
+        blocks = (context_blocks if context_blocks is not None
+                  else self.backbone(x, train))
         psp = PyramidPooling(self.num_classes, norm=self.norm,
                              dtype=self.dtype, name="psp_layer")(
             blocks[-1], train

@@ -133,14 +133,32 @@ def main(argv=None):
                  for u in imgs]
         stats = calibrate_channelwise(model, variables, calib)
         try:
-            pkg = build_int8_package(
-                variables, stats, eps=cfg.bn_eps,
-                image_mean=cfg.image_mean, image_std=cfg.image_std,
-            )
+            if cfg.model.startswith("pspnet"):
+                from ..deploy.int8_serve import (
+                    build_int8_backbone_package,
+                    make_int8_pspnet_infer,
+                    prepare_u8_input,
+                )
+
+                depth = int(cfg.model.rsplit("r", 1)[-1])
+                pkg = build_int8_backbone_package(
+                    variables, stats, depth=depth, eps=cfg.bn_eps,
+                    image_mean=cfg.image_mean, image_std=cfg.image_std,
+                )
+                infer, run_pkg = make_int8_pspnet_infer(model, variables,
+                                                        pkg)
+                xs = prepare_u8_input(imgs[0], image_mean=cfg.image_mean)
+            else:
+                pkg = build_int8_package(
+                    variables, stats, eps=cfg.bn_eps,
+                    image_mean=cfg.image_mean, image_std=cfg.image_std,
+                )
+                infer, run_pkg = make_int8_through_infer(model, variables,
+                                                         pkg)
+                xs = prepare_s2d_input_u8(imgs[0],
+                                          image_mean=cfg.image_mean)
         except ValueError as e:
             raise SystemExit(f"--int8-through: {e}")
-        infer, run_pkg = make_int8_through_infer(model, variables, pkg)
-        xs = prepare_s2d_input_u8(imgs[0], image_mean=cfg.image_mean)
 
         @jax.jit
         def chained(pkg, xs, seed):
