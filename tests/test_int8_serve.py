@@ -222,3 +222,37 @@ def test_int8_backbone_rejects_classic_stem():
             {"params": {"backbone": v["params"]},
              "batch_stats": {"backbone": v["batch_stats"]}},
             {}, depth=50, image_mean=MEAN, image_std=STD)
+
+
+def test_int8_through_psanet_matches_float_graph():
+    """PSANet over the same int8 Bottleneck body (PSA head bf16 via the
+    context_blocks passthrough)."""
+    from torchseg_tpu.deploy.int8_serve import (
+        build_int8_backbone_package,
+        calibrate_channelwise,
+        make_int8_pspnet_infer,
+        prepare_u8_input,
+    )
+
+    # att grid matched to the 64x128 test input (/8 = 8x16 = 128 positions)
+    model = models.psanet_r50(num_classes=21, att_channels=128)
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 255, (1, 64, 128, 3)).astype(np.uint8)
+    xf = jnp.asarray(_normalize(img))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        xf, train=True,
+    )
+    stats = calibrate_channelwise(model, variables, [xf])
+    pkg = build_int8_backbone_package(variables, stats, depth=50,
+                                     image_mean=MEAN, image_std=STD)
+    infer, run_pkg = make_int8_pspnet_infer(model, variables, pkg,
+                                            argmax=False, dtype=jnp.float32)
+    xs = prepare_u8_input(img, image_mean=MEAN)
+    got = np.asarray(infer(run_pkg, xs), np.float32)
+    ref = np.asarray(model.apply(variables, xf, train=False), np.float32)
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).mean() / max(np.std(ref), 1e-6)
+    assert rel < 0.3, rel
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.8, agree

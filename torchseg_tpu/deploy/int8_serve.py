@@ -593,8 +593,9 @@ def make_int8_backbone_fn(pkg, dtype=jnp.bfloat16):
 
 def make_int8_pspnet_infer(model, variables, pkg, *, argmax: bool = True,
                            dtype=jnp.bfloat16):
-    """Jitted int8-through PSPNet serving: int8 dilated backbone + bf16 PPM
-    head via the ``context_blocks`` passthrough.  Input: pre-padded int8
+    """Jitted int8-through serving for any model with a ``context_blocks``
+    passthrough over a dilated Bottleneck backbone (PSPNet's PPM head,
+    PSANet's PSA head): int8 backbone + bf16 head.  Input: pre-padded int8
     from ``prepare_u8_input``."""
     run_bb, run_pkg = make_int8_backbone_fn(pkg, dtype)
 

@@ -139,8 +139,11 @@ class PSANet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        blocks = self.backbone(x, train)
+    def __call__(self, x, train: bool = False, context_blocks=None):
+        """context_blocks: optional precomputed backbone stage features in
+        forward order (int8-through serving, deploy/int8_serve.py)."""
+        blocks = (context_blocks if context_blocks is not None
+                  else self.backbone(x, train))
         psa = PointwiseSpatialAttention(
             self.num_classes, self.att_channels, norm=self.norm,
             dtype=self.dtype, name="psa_layer"

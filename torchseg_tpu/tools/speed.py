@@ -77,7 +77,7 @@ def main(argv=None):
                    help="int8-THROUGH serving graph (deploy/int8_serve.py): "
                         "uint8 s2d input, int8 activations end-to-end "
                         "through stems+spatial+backbone, bf16 decoder. "
-                        "BiSeNet R18/X39 [.speed] variants.")
+                        "BiSeNet R18/X39 and PSPNet/PSANet R50/R101.")
     args = p.parse_args(argv)
 
     import jax
@@ -133,7 +133,7 @@ def main(argv=None):
                  for u in imgs]
         stats = calibrate_channelwise(model, variables, calib)
         try:
-            if cfg.model.startswith("pspnet"):
+            if cfg.model.startswith(("pspnet", "psanet")):
                 from ..deploy.int8_serve import (
                     build_int8_backbone_package,
                     make_int8_pspnet_infer,
