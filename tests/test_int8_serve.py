@@ -256,3 +256,74 @@ def test_int8_through_psanet_matches_float_graph():
     assert rel < 0.3, rel
     agree = (got.argmax(-1) == ref.argmax(-1)).mean()
     assert agree > 0.8, agree
+
+
+def test_int8_through_dfn_matches_float_graph():
+    """DFN over the int8 NON-dilated R101 body: the dual-branch decoder
+    reads every stage's values, so all four dequantize (dequant_all)."""
+    from torchseg_tpu.deploy.int8_serve import (
+        build_int8_backbone_package,
+        calibrate_channelwise,
+        make_int8_pspnet_infer,
+        prepare_u8_input,
+    )
+
+    model = models.dfn_r101(num_classes=19)
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 255, (1, 64, 128, 3)).astype(np.uint8)
+    xf = jnp.asarray(_normalize(img))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(5), "dropout": jax.random.PRNGKey(6)},
+        xf, train=True,
+    )
+    stats = calibrate_channelwise(model, variables, [xf])
+    pkg = build_int8_backbone_package(
+        variables, stats, depth=101, image_mean=MEAN, image_std=STD,
+        strides=(1, 2, 2, 2), dilations=(1, 1, 1, 1),
+    )
+    infer, run_pkg = make_int8_pspnet_infer(
+        model, variables, pkg, argmax=False, dtype=jnp.float32,
+        dequant_all=True,
+    )
+    xs = prepare_u8_input(img, image_mean=MEAN)
+    got = np.asarray(infer(run_pkg, xs), np.float32)
+    ref = np.asarray(model.apply(variables, xf, train=False), np.float32)
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).mean() / max(np.std(ref), 1e-6)
+    assert rel < 0.3, rel
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.8, agree
+
+
+def test_int8_through_fcn_matches_float_graph():
+    """FCN-32s over the int8 standard-stride R101 body."""
+    from torchseg_tpu.deploy.int8_serve import (
+        build_int8_backbone_package,
+        calibrate_channelwise,
+        make_int8_pspnet_infer,
+        prepare_u8_input,
+    )
+
+    model = models.fcn32s_r101(num_classes=21)
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 255, (1, 64, 128, 3)).astype(np.uint8)
+    xf = jnp.asarray(_normalize(img))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(7), "dropout": jax.random.PRNGKey(8)},
+        xf, train=True,
+    )
+    stats = calibrate_channelwise(model, variables, [xf])
+    pkg = build_int8_backbone_package(
+        variables, stats, depth=101, image_mean=MEAN, image_std=STD,
+        strides=(1, 2, 2, 2), dilations=(1, 1, 1, 1),
+    )
+    infer, run_pkg = make_int8_pspnet_infer(
+        model, variables, pkg, argmax=False, dtype=jnp.float32,
+        dequant_all=True,
+    )
+    xs = prepare_u8_input(img, image_mean=MEAN)
+    got = np.asarray(infer(run_pkg, xs), np.float32)
+    ref = np.asarray(model.apply(variables, xf, train=False), np.float32)
+    assert got.shape == ref.shape
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.8, agree

@@ -514,7 +514,10 @@ def build_int8_backbone_package(variables, stats, *, depth: int,
             pkg[f"l{li + 1}_{bi}"] = e
             if s_out is not None:
                 s_block_in = s_out
-    pkg["s_c16"] = jnp.float32(st(f"backbone/layer4_0/conv1"))
+    pkg["s_c16"] = jnp.float32(st("backbone/layer4_0/conv1"))
+    # earlier-stage dequant scales (DFN's decoder reads all stage values)
+    pkg["s_c4"] = jnp.float32(st("backbone/layer2_0/conv1"))
+    pkg["s_c8"] = jnp.float32(st("backbone/layer3_0/conv1"))
     pkg["layers"] = layers
     return pkg
 
@@ -549,11 +552,12 @@ def _apply_bottleneck(xq, e, stride, dilation, emit_int8=True):
     return _requant(z) if emit_int8 else z
 
 
-def make_int8_backbone_fn(pkg, dtype=jnp.bfloat16):
+def make_int8_backbone_fn(pkg, dtype=jnp.bfloat16, dequant_all=False):
     """Returns ``run(run_pkg, x_i8) -> tuple of 4 stage features`` (last
-    two in ``dtype``, earlier int8 — shape-only for most heads) plus the
-    stripped run package.  Feed the result to a head via the model's
-    ``context_blocks`` passthrough."""
+    two in ``dtype``, earlier int8 — shape-only for the PSP/PSA heads, or
+    all dequantized with ``dequant_all`` for DFN's value-reading decoder)
+    plus the stripped run package.  Feed the result to a head via the
+    model's ``context_blocks`` passthrough."""
     layers = pkg["layers"]
     statics = {k: (v["stride"], v["dilation"]) for k, v in pkg.items()
                if isinstance(v, dict) and "stride" in v}
@@ -586,18 +590,23 @@ def make_int8_backbone_fn(pkg, dtype=jnp.bfloat16):
                                       emit_int8=not last)
             feats.append(x)
         c16_f = (feats[2].astype(jnp.float32) * pkg["s_c16"]).astype(dtype)
+        if dequant_all:
+            c4_f = (feats[0].astype(jnp.float32) * pkg["s_c4"]).astype(dtype)
+            c8_f = (feats[1].astype(jnp.float32) * pkg["s_c8"]).astype(dtype)
+            return (c4_f, c8_f, c16_f, feats[3].astype(dtype))
         return (feats[0], feats[1], c16_f, feats[3].astype(dtype))
 
     return run, run_pkg
 
 
 def make_int8_pspnet_infer(model, variables, pkg, *, argmax: bool = True,
-                           dtype=jnp.bfloat16):
+                           dtype=jnp.bfloat16, dequant_all: bool = False):
     """Jitted int8-through serving for any model with a ``context_blocks``
-    passthrough over a dilated Bottleneck backbone (PSPNet's PPM head,
-    PSANet's PSA head): int8 backbone + bf16 head.  Input: pre-padded int8
-    from ``prepare_u8_input``."""
-    run_bb, run_pkg = make_int8_backbone_fn(pkg, dtype)
+    passthrough over a Bottleneck backbone (PSPNet's PPM head, PSANet's
+    PSA head, DFN's dual-branch decoder with ``dequant_all``): int8
+    backbone + bf16 head.  Input: pre-padded int8 from
+    ``prepare_u8_input``."""
+    run_bb, run_pkg = make_int8_backbone_fn(pkg, dtype, dequant_all)
 
     @jax.jit
     def infer(pkg, x_i8):

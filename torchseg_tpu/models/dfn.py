@@ -66,8 +66,15 @@ class DFN(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        blocks = list(self.backbone(x, train))  # [÷4, ÷8, ÷16, ÷32]
+    def __call__(self, x, train: bool = False, context_blocks=None):
+        """context_blocks: optional precomputed backbone stage features in
+        forward order (int8-through serving, deploy/int8_serve.py) — DFN's
+        decoder reads the VALUES of all four stages, so the serving path
+        dequantizes every stage (dequant_all)."""
+        blocks = list(
+            context_blocks if context_blocks is not None
+            else self.backbone(x, train)
+        )  # [÷4, ÷8, ÷16, ÷32]
         top_down = blocks[::-1]  # [÷32(2048), ÷16(1024), ÷8(512), ÷4(256)]
 
         gc = jnp.mean(top_down[0], axis=(1, 2), keepdims=True)

@@ -58,8 +58,11 @@ class FCN(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        blocks = self.backbone(x, train)
+    def __call__(self, x, train: bool = False, context_blocks=None):
+        """context_blocks: optional precomputed backbone stage features
+        (int8-through serving, deploy/int8_serve.py)."""
+        blocks = (context_blocks if context_blocks is not None
+                  else self.backbone(x, train))
         fm = FCNHead(
             self.num_classes, norm=self.norm, dtype=self.dtype, name="head"
         )(blocks[-1], train)

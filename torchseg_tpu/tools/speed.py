@@ -77,7 +77,7 @@ def main(argv=None):
                    help="int8-THROUGH serving graph (deploy/int8_serve.py): "
                         "uint8 s2d input, int8 activations end-to-end "
                         "through stems+spatial+backbone, bf16 decoder. "
-                        "BiSeNet R18/X39 and PSPNet/PSANet R50/R101.")
+                        "BiSeNet R18/X39, PSPNet/PSANet R50/R101, DFN/FCN R101.")
     args = p.parse_args(argv)
 
     import jax
@@ -133,7 +133,7 @@ def main(argv=None):
                  for u in imgs]
         stats = calibrate_channelwise(model, variables, calib)
         try:
-            if cfg.model.startswith(("pspnet", "psanet")):
+            if cfg.model.startswith(("pspnet", "psanet", "dfn", "fcn")):
                 from ..deploy.int8_serve import (
                     build_int8_backbone_package,
                     make_int8_pspnet_infer,
@@ -141,12 +141,18 @@ def main(argv=None):
                 )
 
                 depth = int(cfg.model.rsplit("r", 1)[-1])
+                is_dfn = cfg.model.startswith(("dfn", "fcn"))
+                extra = (dict(strides=(1, 2, 2, 2),
+                              dilations=(1, 1, 1, 1))
+                         if is_dfn else {})  # DFN: standard strides
                 pkg = build_int8_backbone_package(
                     variables, stats, depth=depth, eps=cfg.bn_eps,
                     image_mean=cfg.image_mean, image_std=cfg.image_std,
+                    **extra,
                 )
-                infer, run_pkg = make_int8_pspnet_infer(model, variables,
-                                                        pkg)
+                infer, run_pkg = make_int8_pspnet_infer(
+                    model, variables, pkg, dequant_all=is_dfn,
+                )
                 xs = prepare_u8_input(imgs[0], image_mean=cfg.image_mean)
             else:
                 pkg = build_int8_package(
