@@ -327,3 +327,37 @@ def test_int8_through_fcn_matches_float_graph():
     assert got.shape == ref.shape
     agree = (got.argmax(-1) == ref.argmax(-1)).mean()
     assert agree > 0.8, agree
+
+
+def test_int8_through_bisenet_r101_matches_float_graph():
+    """BiSeNet-R101: int8 spatial path + int8 deep-stem Bottleneck body +
+    bf16 decoder — the last zoo combination."""
+    from torchseg_tpu.deploy.int8_serve import (
+        build_int8_bisenet_r101_package,
+        calibrate_channelwise,
+        make_int8_bisenet_r101_infer,
+        prepare_u8_input,
+    )
+
+    model = models.bisenet_r101(num_classes=19)
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 255, (1, 64, 128, 3)).astype(np.uint8)
+    xf = jnp.asarray(_normalize(img))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(9), "dropout": jax.random.PRNGKey(10)},
+        xf, train=True,
+    )
+    stats = calibrate_channelwise(model, variables, [xf])
+    pkg = build_int8_bisenet_r101_package(variables, stats,
+                                          image_mean=MEAN, image_std=STD)
+    infer, run_pkg = make_int8_bisenet_r101_infer(
+        model, variables, pkg, argmax=False, dtype=jnp.float32
+    )
+    xs = prepare_u8_input(img, pad=3, image_mean=MEAN)
+    got = np.asarray(infer(run_pkg, xs), np.float32)
+    ref = np.asarray(model.apply(variables, xf, train=False), np.float32)
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).mean() / max(np.std(ref), 1e-6)
+    assert rel < 0.3, rel
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.8, agree

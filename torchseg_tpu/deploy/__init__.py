@@ -4,6 +4,11 @@ from .fused_stem import (
     prepare_s2d_input,
 )
 from .int8_serve import (
+    build_int8_backbone_package,
+    build_int8_bisenet_r101_package,
+    make_int8_bisenet_r101_infer,
+    make_int8_pspnet_infer,
+    prepare_u8_input,
     build_int8_package,
     calibrate_channelwise,
     load_int8_package,

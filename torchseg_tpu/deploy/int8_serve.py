@@ -522,6 +522,95 @@ def build_int8_backbone_package(variables, stats, *, depth: int,
     return pkg
 
 
+def build_int8_bisenet_r101_package(variables, stats, *,
+                                    eps: float = 1e-5,
+                                    image_mean=(0.485, 0.456, 0.406),
+                                    image_std=(0.229, 0.224, 0.225)):
+    """BiSeNet-R101 (v1c deep-stem Bottleneck backbone + spatial path):
+    composes the deep-stem body package with an int8 spatial path whose
+    7x7 stem runs bf16 over the raw uint8 input (normalization folded)."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    if "spatial_path" not in p or "stem_conv1" not in p.get("backbone", {}):
+        raise ValueError(
+            "expects a deep-stem BiSeNet (spatial_path + "
+            "backbone/stem_conv1) — use build_int8_package for the "
+            "classic-stem R18/X39 variants"
+        )
+    pkg = {"kind": "bisenet_r101",
+           "bb": build_int8_backbone_package(
+               variables, stats, depth=101, eps=eps,
+               image_mean=image_mean, image_std=image_std,
+               strides=(1, 2, 2, 2), dilations=(1, 1, 1, 1))}
+
+    mean = np.asarray(image_mean, np.float32)
+    std = np.asarray(image_std, np.float32)
+    k = np.asarray(p["spatial_path"]["conv_7x7"]["conv"]["kernel"],
+                   np.float32)
+    kf = k / (255.0 * std)[None, None, :, None]
+    cshift = (128.0 / 255.0 - mean) / std
+    shift = np.einsum("hwio,i->o", k, cshift)
+    a, b = fold_bn_affine(p["spatial_path"]["conv_7x7"]["bn"],
+                          s["spatial_path"]["conv_7x7"]["bn"], eps)
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    s_sp = _scale(stats, "spatial_path/conv_3x3_1/conv")
+    pkg["sp_stem"] = {
+        "wf": jnp.asarray(kf, jnp.bfloat16),
+        "m": jnp.asarray(a / s_sp, jnp.float32),
+        "c": jnp.asarray((shift * a + b) / s_sp, jnp.float32),
+    }
+    sp = p["spatial_path"]
+    sps = s["spatial_path"]
+    s_m1 = _scale(stats, "spatial_path/conv_3x3_2/conv")
+    s_m2 = _scale(stats, "spatial_path/conv_1x1/conv")
+    pkg["sp1"] = _cbr_pack(sp["conv_3x3_1"], sps["conv_3x3_1"], eps,
+                           s_sp, s_m1)
+    pkg["sp2"] = _cbr_pack(sp["conv_3x3_2"], sps["conv_3x3_2"], eps,
+                           s_m1, s_m2)
+    pkg["sp3"] = _cbr_pack(sp["conv_1x1"], sps["conv_1x1"], eps, s_m2, None)
+    return pkg
+
+
+def make_int8_bisenet_r101_infer(model, variables, pkg, *,
+                                 argmax: bool = True, dtype=jnp.bfloat16):
+    """Jitted int8-through BiSeNet-R101 serving.  Input: pre-padded int8
+    from ``prepare_u8_input(img, pad=3)`` (the 7x7 spatial stem's padding;
+    the deep stem slices its pad-1 window out of the same tensor)."""
+    run_bb, bb_runpkg = make_int8_backbone_fn(pkg["bb"], dtype)
+    run_pkg = {"bb": bb_runpkg,
+               **{k: v for k, v in pkg.items() if k not in ("kind", "bb")}}
+
+    @jax.jit
+    def infer(pkg, x_i8):
+        # spatial path: bf16 7x7/2 stem over the uint8 codes, int8 chain
+        sp = pkg["sp_stem"]
+        y = jax.lax.conv_general_dilated(
+            x_i8.astype(jnp.bfloat16), sp["wf"], (2, 2), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        q = _requant(jnp.maximum(y * sp["m"] + sp["c"], 0.0))
+        q = _apply_cbr(q, pkg["sp1"], 2, 1)
+        q = _apply_cbr(q, pkg["sp2"], 2, 1)
+        spatial_out = _apply_cbr(q, pkg["sp3"], 1, 0, emit_int8=False)
+
+        # backbone: the deep stem pads 1 — slice it out of the pad-3 input
+        xb = x_i8[:, 2:-2, 2:-2, :]
+        blocks = run_bb(pkg["bb"], xb)
+        blocks = tuple(
+            b if b.dtype == dtype else b.astype(dtype) for b in blocks
+        )
+        dummy = jnp.zeros((1, 1, 1, 3), dtype)
+        scores = model.apply(variables, dummy, train=False,
+                             spatial_out=spatial_out.astype(dtype),
+                             context_blocks=blocks)
+        if argmax:
+            return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        return scores
+
+    return infer, run_pkg
+
+
 def prepare_u8_input(img_u8, pad: int = 1,
                      image_mean=(0.485, 0.456, 0.406)):
     """(1, H, W, 3) uint8 -> pre-padded (1, H+2p, W+2p, 3) int8 (value-128)

@@ -77,7 +77,7 @@ def main(argv=None):
                    help="int8-THROUGH serving graph (deploy/int8_serve.py): "
                         "uint8 s2d input, int8 activations end-to-end "
                         "through stems+spatial+backbone, bf16 decoder. "
-                        "BiSeNet R18/X39, PSPNet/PSANet R50/R101, DFN/FCN R101.")
+                        "covers the whole zoo (all BiSeNet/PSPNet/PSANet/DFN/FCN).")
     args = p.parse_args(argv)
 
     import jax
@@ -133,7 +133,23 @@ def main(argv=None):
                  for u in imgs]
         stats = calibrate_channelwise(model, variables, calib)
         try:
-            if cfg.model.startswith(("pspnet", "psanet", "dfn", "fcn")):
+            if cfg.model == "bisenet_r101":
+                from ..deploy.int8_serve import (
+                    build_int8_bisenet_r101_package,
+                    make_int8_bisenet_r101_infer,
+                    prepare_u8_input,
+                )
+
+                pkg = build_int8_bisenet_r101_package(
+                    variables, stats, eps=cfg.bn_eps,
+                    image_mean=cfg.image_mean, image_std=cfg.image_std,
+                )
+                infer, run_pkg = make_int8_bisenet_r101_infer(
+                    model, variables, pkg,
+                )
+                xs = prepare_u8_input(imgs[0], pad=3,
+                                      image_mean=cfg.image_mean)
+            elif cfg.model.startswith(("pspnet", "psanet", "dfn", "fcn")):
                 from ..deploy.int8_serve import (
                     build_int8_backbone_package,
                     make_int8_pspnet_infer,
