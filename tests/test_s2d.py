@@ -72,3 +72,28 @@ def test_cpad_matches_plain_conv():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
     )
+
+
+def test_cpad_custom_wgrad_matches_autodiff():
+    """The stacked-shift matmul weight gradient (conv_stride2_cpad_cv)
+    must match the stock conv wgrad for both stems' shapes."""
+    import jax
+
+    from torchseg_tpu.ops.s2d import conv_stride2_cpad, conv_stride2_cpad_cv
+
+    for k, hw in ((7, (32, 64)), (3, (16, 24))):
+        rng = np.random.default_rng(k)
+        x = jnp.asarray(rng.normal(size=(2, *hw, 3)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, k, 3, 8)).astype(np.float32))
+        ct = jnp.asarray(rng.normal(
+            size=(2, hw[0] // 2, hw[1] // 2, 8)).astype(np.float32))
+
+        y1, vjp1 = jax.vjp(conv_stride2_cpad, x, w)
+        y2, vjp2 = jax.vjp(conv_stride2_cpad_cv, x, w)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        dx1, dw1 = vjp1(ct)
+        dx2, dw2 = vjp2(ct)
+        np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2),
+                                   rtol=1e-4, atol=1e-4)

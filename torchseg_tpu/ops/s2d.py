@@ -80,6 +80,67 @@ def conv_stride2_cpad(x: jnp.ndarray, kernel: jnp.ndarray, min_c: int = 8):
     )
 
 
+# ----------------------------------------------------------------------
+# custom weight-gradient: XLA's wgrad for the stride-2 tiny-C stem builds
+# (1024, 16, 132, 3, 7) shifted-window tensors via six dynamic-update-slice
+# fusions and reduces them in a 4.8 ms fusion — ~8 ms of the 50.7 ms
+# BiSeNet train step (round-3 chip profile).  This formulation computes
+# dW in s2d space as ONE tall matmul over kp*kp stacked shifted views
+# (static slices, no scatter), then maps back to the original kernel via
+# the (linear) s2d kernel transform's vjp.  dx keeps the stock dgrad.
+# ----------------------------------------------------------------------
+
+STEM_WGRAD_MATMUL = False  # chip-gated; flipped after A/B (see ROADMAP)
+
+
+@jax.custom_vjp
+def conv_stride2_cpad_cv(x, kernel):
+    return conv_stride2_cpad(x, kernel)
+
+
+def _cpad_fwd(x, kernel):
+    return conv_stride2_cpad(x, kernel), (x, kernel)
+
+
+def _cpad_bwd(res, g):
+    x, kernel = res
+    _, vjp_x = jax.vjp(lambda xx: conv_stride2_cpad(xx, kernel), x)
+    dx = vjp_x(g)[0]
+
+    k = kernel.shape[0]
+    b, h, w, c = x.shape
+    kp = (k + 1) // 2
+    d = (k // 2) % 2
+    pl = (k // 2 + d) // 2
+    pr = kp - 1 - pl
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    xsp = jnp.pad(xs, ((0, 0), (pl, pr), (pl, pr), (0, 0)))
+    oh, ow = g.shape[1], g.shape[2]
+    slabs = [
+        xsp[:, p:p + oh, q:q + ow, :]
+        for p in range(kp)
+        for q in range(kp)
+    ]
+    a = jnp.stack(slabs)  # (kp*kp, b, oh, ow, 4c)
+    dwk = jnp.einsum("kbijc,bijo->kco", a, g,
+                     preferred_element_type=jnp.float32)
+    dwk = dwk.reshape(kp, kp, 4 * c, -1)
+
+    def transform(wker):
+        wpad = jnp.pad(
+            wker, ((d, 2 * kp - k - d), (d, 2 * kp - k - d), (0, 0), (0, 0))
+        )
+        wk = wpad.reshape(kp, 2, kp, 2, c, -1)
+        return wk.transpose(0, 2, 1, 3, 4, 5).reshape(kp, kp, 4 * c, -1)
+
+    dw = jax.vjp(transform, kernel)[1](dwk.astype(kernel.dtype))[0]
+    return dx, dw
+
+
+conv_stride2_cpad_cv.defvjp(_cpad_fwd, _cpad_bwd)
+
+
 class S2DConv(nn.Module):
     """Drop-in for nn.Conv(stride=2, pad=k//2, no bias) on tiny-C inputs;
     stores the kernel under the same ('kernel') name/shape so checkpoints are
@@ -100,7 +161,9 @@ class S2DConv(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
-        return conv_stride2_cpad(x.astype(dtype), kernel.astype(dtype))
+        conv = conv_stride2_cpad_cv if STEM_WGRAD_MATMUL else \
+            conv_stride2_cpad
+        return conv(x.astype(dtype), kernel.astype(dtype))
 
 
 def use_s2d(in_ch: int, stride: int, ksize: int) -> bool:
