@@ -27,6 +27,9 @@ def main(argv=None):
                    help="force jax.checkpoint on backbone blocks (A/B the "
                         "activation-memory/recompute trade)")
     p.add_argument("--no-remat", dest="remat", action="store_false")
+    p.add_argument("--top-ops", type=int, default=0,
+                   help="print the top-N ops by device time from a short "
+                        "XLA trace of the train step (tools/profile)")
     args = p.parse_args(argv)
 
     import jax
@@ -158,6 +161,19 @@ def main(argv=None):
         float(acc)
         times.append(time.perf_counter() - t0)
     dt = min(times) / n_steps
+    if args.top_ops:
+        try:
+            from .profile import collect_op_times, top_ops_table
+
+            _, ops = collect_op_times(
+                lambda: fn(state, batch, jax.random.PRNGKey(9)), runs=1
+            )
+            # divide by the chained step count for per-step attribution
+            ops = {k: v / n_steps for k, v in ops.items()}
+            print(f"--- top train ops (ms/step over {n_steps}-step chain) ---")
+            print(top_ops_table(ops, args.top_ops))
+        except Exception as e:
+            print(f"(top-ops table unavailable: {e})")
     peak_gb = None
     try:  # HBM high-water (not available on all backends)
         stats = jax.local_devices()[0].memory_stats()
