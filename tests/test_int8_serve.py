@@ -67,6 +67,39 @@ def test_int8_through_matches_float_graph():
     assert agree > 0.90, agree
 
 
+def test_int8_through_tiled_argmax_full_res():
+    """argmax='tiled' (int8 body + row-tiled full-res epilogue) must equal
+    the argmax of the same int8 graph's in-model-upsampled scores — the
+    epilogue only reorders the (monotone) upsample+argmax."""
+    model, variables, img, xf = _setup(
+        seed=7, factory=lambda **kw: models.bisenet_r18(
+            **{k: v for k, v in kw.items() if k != "speed"})
+    )
+    stats = calibrate(model, variables, [xf])
+    pkg = build_int8_package(variables, stats,
+                             image_mean=MEAN, image_std=STD)
+    xs = prepare_s2d_input_u8(img, image_mean=MEAN)
+    scores_fn, run_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax=False, dtype=jnp.float32
+    )
+    ref = np.asarray(jnp.argmax(scores_fn(run_pkg, xs), axis=-1))
+    tiled_fn, run_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax="tiled", dtype=jnp.float32
+    )
+    pred = np.asarray(tiled_fn(run_pkg, xs))
+    assert pred.shape == ref.shape == (1, 64, 128)
+    assert (pred == ref).mean() > 0.999
+
+
+def test_int8_through_tiled_rejected_for_speed_heads():
+    model, variables, img, xf = _setup(seed=8)  # speed head: /8 logits
+    stats = calibrate(model, variables, [xf])
+    pkg = build_int8_package(variables, stats,
+                             image_mean=MEAN, image_std=STD)
+    with pytest.raises(ValueError, match="full-res heads"):
+        make_int8_through_infer(model, variables, pkg, argmax="tiled")
+
+
 def test_int8_through_argmax_mode():
     model, variables, img, xf = _setup(seed=5)
     stats = calibrate(model, variables, [xf])

@@ -834,7 +834,7 @@ def _maxpool_i8(xq):
     )
 
 
-def make_int8_through_infer(model, variables, pkg, *, argmax: bool = True,
+def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                             dtype=jnp.bfloat16, stem_mode: str = "bf16"):
     """Build the jitted int8-through serving function.
 
@@ -842,7 +842,18 @@ def make_int8_through_infer(model, variables, pkg, *, argmax: bool = True,
     pre-padded int8 s2d input from ``prepare_s2d_input_u8``.  ``run_pkg`` is
     the package with static structure (strides, split point) stripped so it
     can be a jit argument — weights stay runtime inputs rather than
-    baked-in constants."""
+    baked-in constants.
+
+    argmax: True argmaxes the in-model-upsampled scores; 'tiled' (full-res
+    heads only) skips the in-model x-scale upsample and produces the
+    full-res prediction with the row-tiled epilogue
+    (ops/resize.tiled_upsample_argmax) — composes the int8 body with the
+    serving epilogue that never holds the full-res score tensor in HBM."""
+    if argmax == "tiled" and model.head_scales[2] <= 1:
+        raise ValueError(
+            "argmax='tiled' targets full-res heads (head_scales[2] > 1); "
+            "the .speed variants already emit /8 logits — use argmax=True"
+        )
     kind = pkg.get("kind", "r18")
     n_sp = int(pkg["stem"]["n_sp"])
     strides = {name: pkg[name]["stride"]
@@ -906,7 +917,14 @@ def make_int8_through_infer(model, variables, pkg, *, argmax: bool = True,
             variables, dummy, train=False,
             spatial_out=spatial_out.astype(dtype),
             context_blocks=blocks,
+            raw_logits=argmax == "tiled",
         )
+        if argmax == "tiled":
+            from ..ops.resize import tiled_upsample_argmax
+
+            scale = model.head_scales[2]
+            h, w = scores.shape[1:3]
+            return tiled_upsample_argmax(scores, (h * scale, w * scale))
         if argmax:
             return jnp.argmax(scores, axis=-1).astype(jnp.int32)
         return scores

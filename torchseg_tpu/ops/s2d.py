@@ -85,12 +85,19 @@ def conv_stride2_cpad(x: jnp.ndarray, kernel: jnp.ndarray, min_c: int = 8):
 # (1024, 16, 132, 3, 7) shifted-window tensors via six dynamic-update-slice
 # fusions and reduces them in a 4.8 ms fusion — ~8 ms of the 50.7 ms
 # BiSeNet train step (round-3 chip profile).  This formulation computes
-# dW in s2d space as ONE tall matmul over kp*kp stacked shifted views
-# (static slices, no scatter), then maps back to the original kernel via
-# the (linear) s2d kernel transform's vjp.  dx keeps the stock dgrad.
+# dW in s2d space as kp*kp accumulated (4c x oh*ow) @ (oh*ow x cout)
+# matmuls over statically shifted views (static slices, no scatter, no
+# materialized stack), then maps back to the original kernel via the
+# (linear) s2d kernel transform's vjp.  dx keeps the stock dgrad.
+#
+# Chip A/B, full BiSeNet-R18 train step bs2 @1024² (round 3):
+#   XLA native wgrad                50.60 ms/step
+#   stacked-slab single einsum      43.24   (kp²·12.6 MB stack concat)
+#   conv-formulated wgrad           46.43   (CHWN/IHWO large-kernel conv)
+#   accumulated per-shift einsums   40.31   <- shipped
 # ----------------------------------------------------------------------
 
-STEM_WGRAD_MATMUL = False  # chip-gated; flipped after A/B (see ROADMAP)
+STEM_WGRAD_MATMUL = True  # chip A/B (round 3): 40.31 vs 50.60 ms/step (-20%)
 
 
 @jax.custom_vjp
@@ -117,15 +124,13 @@ def _cpad_bwd(res, g):
     xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
     xsp = jnp.pad(xs, ((0, 0), (pl, pr), (pl, pr), (0, 0)))
     oh, ow = g.shape[1], g.shape[2]
-    slabs = [
-        xsp[:, p:p + oh, q:q + ow, :]
+    rows = [
+        jnp.einsum("bijc,bijo->co", xsp[:, p:p + oh, q:q + ow, :], g,
+                   preferred_element_type=jnp.float32)
         for p in range(kp)
         for q in range(kp)
     ]
-    a = jnp.stack(slabs)  # (kp*kp, b, oh, ow, 4c)
-    dwk = jnp.einsum("kbijc,bijo->kco", a, g,
-                     preferred_element_type=jnp.float32)
-    dwk = dwk.reshape(kp, kp, 4 * c, -1)
+    dwk = jnp.stack(rows).reshape(kp, kp, 4 * c, -1)
 
     def transform(wker):
         wpad = jnp.pad(
