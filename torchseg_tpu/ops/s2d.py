@@ -85,19 +85,27 @@ def conv_stride2_cpad(x: jnp.ndarray, kernel: jnp.ndarray, min_c: int = 8):
 # (1024, 16, 132, 3, 7) shifted-window tensors via six dynamic-update-slice
 # fusions and reduces them in a 4.8 ms fusion — ~8 ms of the 50.7 ms
 # BiSeNet train step (round-3 chip profile).  This formulation computes
-# dW in s2d space as kp*kp accumulated (4c x oh*ow) @ (oh*ow x cout)
-# matmuls over statically shifted views (static slices, no scatter, no
-# materialized stack), then maps back to the original kernel via the
-# (linear) s2d kernel transform's vjp.  dx keeps the stock dgrad.
+# dW in s2d space as kp*kp accumulated (2c x oh*ow) @ (oh*ow x cout)
+# matmuls per row parity over statically shifted views (static slices, no
+# scatter, no materialized stack), then maps back to the original kernel
+# via the (linear) s2d kernel transform's vjp.  dx keeps the stock dgrad.
+#
+# The s2d view is built per ROW PARITY: the row split is a full-row-
+# granularity strided slice (memory-friendly) and the column 2->depth
+# deinterleave then becomes a FREE row-major reshape (w, c)->(w/2, 2c) —
+# the full reshape/transpose s2d cost XLA 2.27 ms (reshape) + 1.07 ms
+# (relayout copy) at bs2@1024²; this construction removes both.
 #
 # Chip A/B, full BiSeNet-R18 train step bs2 @1024² (round 3):
 #   XLA native wgrad                50.60 ms/step
 #   stacked-slab single einsum      43.24   (kp²·12.6 MB stack concat)
 #   conv-formulated wgrad           46.43   (CHWN/IHWO large-kernel conv)
-#   accumulated per-shift einsums   40.31   <- shipped
+#   strided-slice s2d construction  50.42   (column-strided slices lose)
+#   accumulated per-shift einsums   40.31   (reshape/transpose s2d)
+#   + row-parity-split s2d          37.98   <- shipped
 # ----------------------------------------------------------------------
 
-STEM_WGRAD_MATMUL = True  # chip A/B (round 3): 40.31 vs 50.60 ms/step (-20%)
+STEM_WGRAD_MATMUL = True  # chip A/B (round 3): 37.98 vs 50.60 ms/step (-25%)
 
 
 @jax.custom_vjp
@@ -120,13 +128,21 @@ def _cpad_bwd(res, g):
     d = (k // 2) % 2
     pl = (k // 2 + d) // 2
     pr = kp - 1 - pl
-    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-    xsp = jnp.pad(xs, ((0, 0), (pl, pr), (pl, pr), (0, 0)))
     oh, ow = g.shape[1], g.shape[2]
+    x5 = x.reshape(b, h // 2, 2, w, c)
+    parts = []
+    for a in (0, 1):
+        xa = x5[:, :, a].reshape(b, h // 2, w // 2, 2 * c)
+        parts.append(jnp.pad(xa, ((0, 0), (pl, pr), (pl, pr), (0, 0))))
+    # channel order within a dwk row is (a, b, cc) — parity-a block first —
+    # matching the (kp, 2, kp, 2, c) transpose in `transform` below
     rows = [
-        jnp.einsum("bijc,bijo->co", xsp[:, p:p + oh, q:q + ow, :], g,
-                   preferred_element_type=jnp.float32)
+        jnp.concatenate(
+            [jnp.einsum("bijc,bijo->co", parts[a][:, p:p + oh, q:q + ow, :],
+                        g, preferred_element_type=jnp.float32)
+             for a in (0, 1)],
+            axis=0,
+        )
         for p in range(kp)
         for q in range(kp)
     ]
