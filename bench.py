@@ -180,6 +180,76 @@ def _bench_int8(args):
     return 1000.0 / ms
 
 
+def _bench_train(args, k=6):
+    """Profiler ms/step of the full BiSeNet-R18 train step (OHEM x3 +
+    BN stats + SGD update) at the DESIGN.md protocol: bs2 @ 1024x1024
+    bf16 on one chip — the training-throughput headline as a
+    driver-visible artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchseg_tpu.engine.lr_policy import PolyLR
+    from torchseg_tpu.engine.optim import sgd_update
+    from torchseg_tpu.experiments.registry import (
+        build_loss_fn,
+        build_model,
+        get_experiment,
+    )
+
+    cfg = get_experiment("cityscapes.bisenet.R18")
+    rng = np.random.default_rng(0)
+    B, H, W = 2, 1024, 1024
+    imgs = [jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32),
+                        jnp.bfloat16) for _ in range(k)]
+    lbls = jnp.asarray(rng.integers(0, 19, (B, H, W)).astype(np.int32))
+    loss_fn = build_loss_fn(cfg, num_shards=1)
+    lr = PolyLR(cfg.lr, cfg.lr_power, 10000)
+    model = build_model(cfg, axis_name=None, dtype=jnp.bfloat16)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           imgs[0][:1], train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+    mom = jax.tree.map(jnp.zeros_like, params)
+
+    @jax.jit
+    def step(params, stats, mom, imgs, lbls, it):
+        def lw(p):
+            outs, mut = model.apply(
+                {"params": p, "batch_stats": stats}, imgs, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            return loss_fn(outs, {"image": imgs, "label": lbls}), mut
+
+        (loss, mut), grads = jax.value_and_grad(lw, has_aux=True)(params)
+        params, mom = sgd_update(params, grads, mom, lr(it),
+                                 momentum=cfg.momentum)
+        return params, mut["batch_stats"], mom, loss
+
+    jax.block_until_ready(step(params, stats, mom, imgs[0], lbls, 0))
+    logdir = "/tmp/bench_trace_train"
+    with jax.profiler.trace(logdir):
+        for x in imgs:
+            jax.block_until_ready(step(params, stats, mom, x, lbls, 1))
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    path = sorted(glob.glob(logdir + "/plugins/profile/*/*.xplane.pb"))[-1]
+    space = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        space.ParseFromString(f.read())
+    times = []
+    for plane in space.planes:
+        if "TPU" not in plane.name:
+            continue
+        for line in plane.lines:
+            if line.name == "XLA Modules":
+                times.extend(ev.duration_ps / 1e9 for ev in line.events)
+    if len(times) < k // 2:
+        raise RuntimeError("no device modules captured")
+    return min(times)  # ms/step
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--chain", type=int, default=150,
@@ -237,6 +307,18 @@ def main():
             out["int8_fps"] = round(_bench_int8(args), 2)
         except Exception as e:
             out["int8_error"] = f"{type(e).__name__}: {e}"
+
+    if (args.experiment == "cityscapes.bisenet.R18.speed"
+            and time.time() - t_start <= 330):
+        # training-throughput headline (DESIGN.md: bs2 @ 1024² bf16 full
+        # train step).  Best-effort, like the other extras: one more
+        # compile, only when the budget allows.
+        try:
+            tms = _bench_train(args)
+            out["train_ms_per_step"] = round(tms, 2)
+            out["train_img_per_s_chip"] = round(2 * 1000.0 / tms, 1)
+        except Exception as e:
+            out["train_error"] = f"{type(e).__name__}: {e}"
 
     if (args.experiment == "cityscapes.bisenet.R18.speed"
             and not args.skip_x39):

@@ -35,6 +35,20 @@ def test_grad_matches_native(seed):
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.parametrize("hw", [(9, 13), (15, 16), (16, 15)])
+def test_grad_matches_native_odd_sizes(hw):
+    """The parity-plane backward neg-pads odd inputs to even; gradients
+    must still match the native vjp exactly."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, *hw, 4)).astype(np.float32))
+    oh, ow = (hw[0] + 1) // 2, (hw[1] + 1) // 2
+    ct = jnp.asarray(rng.normal(size=(2, oh, ow, 4)).astype(np.float32))
+    g_ours = jax.vjp(max_pool_3x3_s2, x)[1](ct)[0]
+    g_nat = jax.vjp(_native_pool, x)[1](ct)[0]
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_nat),
+                               rtol=0, atol=1e-5)
+
+
 def test_grad_tie_routing_matches_native():
     """Integer-valued floats force exact ties inside windows; the custom
     backward must route to the same (first-in-scan-order) element as XLA's
