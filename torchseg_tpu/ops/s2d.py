@@ -57,6 +57,46 @@ def conv_stride2_s2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def conv_stride2_s2d_rp(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """conv_stride2_s2d with the s2d input view built by ROW-PARITY SPLIT
+    instead of a 6D reshape/transpose.
+
+    The transpose-based construction loses on v5e because XLA's layout
+    assignment pins the in-graph space-to-depth to a conv-hostile layout
+    (see conv_stride2_cpad's docstring).  Here the view is assembled the
+    memory-friendly way (the same trick as the wgrad path below): the row
+    split ``x[:, 0::2]``/``x[:, 1::2]`` is a full-row-granularity slice,
+    the column 2->depth deinterleave is then a FREE row-major reshape
+    (w, c) -> (w/2, 2c), and one channel concat orders the s2d channels
+    (row-parity a, col-parity b, c) to match the kernel transform."""
+    k = kernel.shape[0]
+    assert k % 2 == 1, "odd kernels only"
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    kp = (k + 1) // 2
+    d = (k // 2) % 2
+    pl = (k // 2 + d) // 2
+    pr = kp - 1 - pl
+    x5 = x.reshape(b, h // 2, 2, w, c)
+    xs = jnp.concatenate(
+        [x5[:, :, a].reshape(b, h // 2, w // 2, 2 * c) for a in (0, 1)],
+        axis=-1,
+    )
+    cout = kernel.shape[-1]
+    wpad = jnp.pad(
+        kernel, ((d, 2 * kp - k - d), (d, 2 * kp - k - d), (0, 0), (0, 0))
+    )
+    wk = wpad.reshape(kp, 2, kp, 2, c, cout)
+    wk = wk.transpose(0, 2, 1, 3, 4, 5).reshape(kp, kp, 4 * c, cout)
+    return jax.lax.conv_general_dilated(
+        xs,
+        wk,
+        (1, 1),
+        [(pl, pr), (pl, pr)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def conv_stride2_cpad(x: jnp.ndarray, kernel: jnp.ndarray, min_c: int = 8):
     """Exact stride-2 conv with input channels zero-padded to ``min_c``.
 
@@ -162,6 +202,32 @@ def _cpad_bwd(res, g):
 conv_stride2_cpad_cv.defvjp(_cpad_fwd, _cpad_bwd)
 
 
+# Forward-path gate: build the stem FORWARD from the row-parity s2d view
+# too (conv_stride2_s2d_rp) instead of the channel-padded strided conv.
+# Chip A/B on the full BiSeNet-R18 bs2@1024² train step (2026-08-17):
+# cpad 37.10 vs s2d-rp **35.00 ms/step** — the two 7x7/2 stem forwards
+# drop from 1.34+1.30 ms to 0.49+0.46 ms as 4x4x12-channel stride-1
+# convs on the parity-built view (the transpose-built view measured
+# 5.5 ms end-to-end in round 2; construction schedule is everything).
+STEM_FWD_S2D = True
+
+
+@jax.custom_vjp
+def conv_stride2_s2d_cv(x, kernel):
+    return conv_stride2_s2d_rp(x, kernel)
+
+
+def _s2d_rp_fwd(x, kernel):
+    return conv_stride2_s2d_rp(x, kernel), (x, kernel)
+
+
+# same backward as the cpad form: dx via the stock strided-conv vjp
+# (DCE'd for the image-input stems), dW via the accumulated parity-split
+# einsums — both depend only on (x, kernel, g), not on how the forward
+# was scheduled.
+conv_stride2_s2d_cv.defvjp(_s2d_rp_fwd, _cpad_bwd)
+
+
 class S2DConv(nn.Module):
     """Drop-in for nn.Conv(stride=2, pad=k//2, no bias) on tiny-C inputs;
     stores the kernel under the same ('kernel') name/shape so checkpoints are
@@ -182,8 +248,12 @@ class S2DConv(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
-        conv = conv_stride2_cpad_cv if STEM_WGRAD_MATMUL else \
-            conv_stride2_cpad
+        if STEM_FWD_S2D and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            conv = conv_stride2_s2d_cv if STEM_WGRAD_MATMUL else \
+                conv_stride2_s2d_rp
+        else:
+            conv = conv_stride2_cpad_cv if STEM_WGRAD_MATMUL else \
+                conv_stride2_cpad
         return conv(x.astype(dtype), kernel.astype(dtype))
 
 
