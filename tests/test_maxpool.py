@@ -74,3 +74,16 @@ def test_value_and_grad_through_model_path():
     val, grad = jax.jit(jax.value_and_grad(loss))(x)
     assert np.isfinite(float(val))
     assert grad.shape == x.shape
+
+
+def test_grad_bf16_close_to_native():
+    """In the bf16 train graph the backward accumulates in bf16 like the
+    native select_and_scatter; only add-order rounding may differ."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 8)), jnp.bfloat16)
+    ct = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.bfloat16)
+    g_ours = jax.vjp(max_pool_3x3_s2, x)[1](ct)[0]
+    g_nat = jax.vjp(lambda v: _native_pool(v), x)[1](ct)[0]
+    assert g_ours.dtype == jnp.bfloat16
+    d = np.abs(np.float32(g_ours) - np.float32(g_nat)).max()
+    assert d <= 0.0625, d

@@ -88,7 +88,10 @@ def _mp_bwd(res, g):
         # v == 1 is the second element of each column pair
         return blk[..., c:] if v == 1 else blk[..., :c]
 
-    g = g.astype(jnp.float32)
+    # accumulate in g's own dtype: the native select_and_scatter adds in
+    # the operand dtype too (bf16 in the bf16 train graph), and the f32
+    # round-trip doubled the HBM traffic of all nine contribution planes
+    zero = jnp.zeros((), g.dtype)
     taken = jnp.zeros(y.shape, bool)
     contrib = {}
     # row-major tap order matches XLA select_and_scatter's first-match
@@ -97,7 +100,7 @@ def _mp_bwd(res, g):
         for v in range(3):
             eq = (tap(u, v) == y) & ~taken
             taken = taken | eq
-            contrib[(u, v)] = jnp.where(eq, g, 0.0)
+            contrib[(u, v)] = jnp.where(eq, g, zero)
 
     # dx row 2m   gets u == 1 taps at oi = m;      row 2m+1 gets
     # u == 0 at oi = m+1 and u == 2 at oi = m (same for columns/v).
