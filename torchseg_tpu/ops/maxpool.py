@@ -4,10 +4,12 @@ The stock vjp of ``reduce_window(max)`` lowers to ``select_and_scatter``,
 which costs 2.5 ms of the 38 ms BiSeNet train step on v5e (round-3
 profile, docs/DESIGN.md) — the same class of data-dependent scatter that
 made the loss gathers 30-250x slow on this toolchain.  This formulation
-routes gradients with 9 tap-equality masks combined with a running
-"already taken" or (reproducing select_and_scatter's first-in-scan-order
-tie routing exactly), with BOTH the tap extraction and the gradient
-placement expressed in window-space parity planes:
+first computes one int8 "winning tap" index per window (the first tap
+equal to the window max in row-major order — reproducing
+select_and_scatter's first-in-scan-order tie routing exactly), then
+routes gradients by comparing against that index, with BOTH the tap
+extraction and the gradient placement expressed in window-space parity
+planes:
 
 - the 1-padded input's rows split by parity (a full-row-granularity
   slice — the cheap direction on TPU, cf. the stem-wgrad s2d finding);
@@ -88,19 +90,26 @@ def _mp_bwd(res, g):
         # v == 1 is the second element of each column pair
         return blk[..., c:] if v == 1 else blk[..., :c]
 
-    # accumulate in g's own dtype: the native select_and_scatter adds in
-    # the operand dtype too (bf16 in the bf16 train graph), and the f32
-    # round-trip doubled the HBM traffic of all nine contribution planes
-    zero = jnp.zeros((), g.dtype)
-    taken = jnp.zeros(y.shape, bool)
-    contrib = {}
-    # row-major tap order matches XLA select_and_scatter's first-match
-    # tie routing (select = ge keeps the earlier element in scan order)
+    # One int8 "winning tap" plane instead of nine materialized masked-g
+    # planes: idx[w] = first tap (row-major order, matching XLA
+    # select_and_scatter's first-match tie routing) equal to the window
+    # max, 9 if none (all -inf).  The idx pass is a single fusion with a
+    # 1-byte-per-window output; per-tap contributions are then computed
+    # LAZILY inside each parity-plane expression (reads idx + g), which
+    # XLA fuses into the reassembly — ~3x less HBM traffic than
+    # materializing the contributions.  Accumulation stays in g's dtype:
+    # native select_and_scatter adds in the operand dtype too.
+    nine = jnp.int8(9)
+    idx = jnp.full(y.shape, nine, jnp.int8)
     for u in range(3):
         for v in range(3):
-            eq = (tap(u, v) == y) & ~taken
-            taken = taken | eq
-            contrib[(u, v)] = jnp.where(eq, g, zero)
+            t = jnp.int8(3 * u + v)
+            idx = jnp.where((tap(u, v) == y) & (idx == nine), t, idx)
+    zero = jnp.zeros((), g.dtype)
+
+    def contrib(uv):
+        u, v = uv
+        return jnp.where(idx == 3 * u + v, g, zero)
 
     # dx row 2m   gets u == 1 taps at oi = m;      row 2m+1 gets
     # u == 0 at oi = m+1 and u == 2 at oi = m (same for columns/v).
@@ -110,11 +119,11 @@ def _mp_bwd(res, g):
     def left(t):  # t[:, :, n+1] with a zero column past the last window
         return jnp.pad(t, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:]
 
-    p00 = contrib[(1, 1)]
-    p01 = left(contrib[(1, 0)]) + contrib[(1, 2)]
-    p10 = up(contrib[(0, 1)]) + contrib[(2, 1)]
-    p11 = (up(left(contrib[(0, 0)])) + up(contrib[(0, 2)])
-           + left(contrib[(2, 0)]) + contrib[(2, 2)])
+    p00 = contrib((1, 1))
+    p01 = left(contrib((1, 0))) + contrib((1, 2))
+    p10 = up(contrib((0, 1))) + contrib((2, 1))
+    p11 = (up(left(contrib((0, 0)))) + up(contrib((0, 2)))
+           + left(contrib((2, 0))) + contrib((2, 2)))
     # reassemble: lane-aligned channel concat + free reshape interleaves
     # columns; stacking on a new row axis + free reshape interleaves rows
     rows_even = jnp.concatenate([p00, p01], axis=-1).reshape(b, oh, w, c)
