@@ -135,10 +135,11 @@ def _mp_bwd(res, g):
 max_pool_3x3_s2.defvjp(_mp_fwd, _mp_bwd)
 
 # Chip-measurement gate: forward is identical either way; the custom vjp
-# only changes the BACKWARD lowering.  v5e A/B on the full BiSeNet-R18
-# bs2@1024² train step (2026-08-17): select_and_scatter 37.97 ms/step,
-# parity-plane 37.09 ms/step — the 2.47 ms select_and_scatter becomes
-# ~1.6 ms of fused elementwise/reshape passes (docs/DESIGN.md).
+# only changes the BACKWARD lowering.  v5e A/Bs on the full BiSeNet-R18
+# bs2@1024² train step (2026-08-17): select_and_scatter 37.97 vs
+# parity-plane-v2 37.09 ms/step; with the s2d-rp stem forward,
+# select_and_scatter 36.12 vs idx-based v3 34.15 ms/step — the 2.47 ms
+# select_and_scatter becomes ~0.5 ms of fused passes (docs/DESIGN.md).
 SCATTER_FREE_BWD = True
 
 
