@@ -92,6 +92,14 @@ def collect_op_times(fn, *args, runs: int = 3, logdir: str = None):
                 elif line.name == "XLA Ops":
                     for ev in line.events:
                         nm = names.get(ev.metadata_id, str(ev.metadata_id))
+                        # skip control-flow wrappers (while/conditional):
+                        # their body ops are listed individually, and the
+                        # wrapper event double-counts them (observed: the
+                        # train_speed 10-step chain's while reporting 40%
+                        # of DFN's step on top of its children)
+                        if nm.lstrip("%").startswith(
+                                ("while", "conditional")):
+                            continue
                         ops[nm] = ops.get(nm, 0.0) + ev.duration_ps / 1e9
         elif plane.name == "/host:CPU":
             for line in plane.lines:
