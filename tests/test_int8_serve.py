@@ -138,6 +138,89 @@ def test_int8_through_x39_matches_float_graph():
     assert agree > 0.85, agree
 
 
+def test_int8_decoder_matches_float_graph():
+    """decoder='int8' (ARM/refine/FFM/head int8-through) must track the
+    float graph: requantization at the calibrated glue points adds at most
+    ~0.5 LSB per hop on top of the body's weight-quantization error."""
+    model, variables, img, xf = _setup(seed=11)
+    stats = calibrate(model, variables, [xf])
+    pkg = build_int8_package(variables, stats, image_mean=MEAN,
+                             image_std=STD, decoder="int8")
+    assert "dec" in pkg
+    infer, run_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax=False, dtype=jnp.float32
+    )
+    xs = prepare_s2d_input_u8(img, image_mean=MEAN)
+    got = np.asarray(infer(run_pkg, xs), np.float32)
+    ref = np.asarray(model.apply(variables, xf, train=False), np.float32)
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).mean() / max(np.std(ref), 1e-6)
+    assert rel < 0.2, rel
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.88, agree
+    # and against the bf16-decoder int8 graph (same body): the decoder
+    # conversion itself must add only sub-LSB logit error (argmax can
+    # still flip on the near-tie pixels random weights produce, so the
+    # invariant is logit-space closeness, measured 0.018 on this seed)
+    pkg_b = build_int8_package(variables, stats,
+                               image_mean=MEAN, image_std=STD)
+    infer_b, run_b = make_int8_through_infer(
+        model, variables, pkg_b, argmax=False, dtype=jnp.float32
+    )
+    base = np.asarray(infer_b(run_b, xs), np.float32)
+    rel_dec = np.abs(got - base).mean() / max(np.std(base), 1e-6)
+    assert rel_dec < 0.05, rel_dec
+
+
+def test_int8_decoder_x39():
+    from torchseg_tpu.deploy.int8_serve import calibrate_channelwise
+
+    model, variables, img, xf = _setup(seed=12, factory=models.bisenet_x39)
+    stats = calibrate_channelwise(model, variables, [xf])
+    pkg = build_int8_package(variables, stats, image_mean=MEAN,
+                             image_std=STD, decoder="int8")
+    infer, run_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax=False, dtype=jnp.float32
+    )
+    xs = prepare_s2d_input_u8(img, image_mean=MEAN)
+    got = np.asarray(infer(run_pkg, xs), np.float32)
+    ref = np.asarray(model.apply(variables, xf, train=False), np.float32)
+    rel = np.abs(got - ref).mean() / max(np.std(ref), 1e-6)
+    assert rel < 0.25, rel
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.85, agree
+
+
+def test_int8_decoder_tiled_full_res():
+    """Int8 decoder composes with the row-tiled full-res epilogue; the
+    prediction equals the argmax of the same graph's upsampled scores."""
+    model, variables, img, xf = _setup(
+        seed=13, factory=lambda **kw: models.bisenet_r18(
+            **{k: v for k, v in kw.items() if k != "speed"})
+    )
+    stats = calibrate(model, variables, [xf])
+    pkg = build_int8_package(variables, stats, image_mean=MEAN,
+                             image_std=STD, decoder="int8")
+    xs = prepare_s2d_input_u8(img, image_mean=MEAN)
+    scores_fn, run_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax=False, dtype=jnp.float32
+    )
+    ref = np.asarray(jnp.argmax(scores_fn(run_pkg, xs), axis=-1))
+    tiled_fn, run_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax="tiled", dtype=jnp.float32
+    )
+    pred = np.asarray(tiled_fn(run_pkg, xs))
+    assert pred.shape == ref.shape == (1, 64, 128)
+    assert (pred == ref).mean() > 0.999
+
+
+def test_int8_package_decoder_arg_validation():
+    model, variables, img, xf = _setup(seed=14)
+    with pytest.raises(ValueError, match="decoder"):
+        build_int8_package(variables, {}, image_mean=MEAN, image_std=STD,
+                           decoder="fp8")
+
+
 def test_int8_package_rejects_unsupported_backbone():
     model = models.bisenet_r101(num_classes=19)
     x = jnp.zeros((1, 64, 128, 3))
@@ -179,6 +262,22 @@ def test_speed_cli_int8_through(capsys):
                       "--input-size", "1x64x128x3",
                       "--chain", "1", "--reps", "1", "--int8-through"])
     assert res["fps"] > 0
+
+
+def test_speed_cli_int8_decoder(capsys):
+    from torchseg_tpu.tools.speed import main as speed_main
+
+    res = speed_main(["-e", "cityscapes.bisenet.R18.speed",
+                      "--input-size", "1x64x128x3",
+                      "--chain", "1", "--reps", "1",
+                      "--int8-through", "--int8-decoder"])
+    assert res["fps"] > 0
+    assert "[int8-through+dec]" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="classic-stem"):
+        speed_main(["-e", "ade.pspnet.R50_v1c",
+                    "--input-size", "1x64x128x3",
+                    "--chain", "1", "--reps", "1",
+                    "--int8-through", "--int8-decoder"])
 
 
 def test_int8_package_save_load_roundtrip(tmp_path):

@@ -292,3 +292,114 @@ def test_kth_smallest_radix_exact():
         want = np.sort(v)[k - 1]
         got = float(_kth_smallest_radix(jnp.asarray(v), k))
         assert np.float32(got) == np.float32(want), (n, k, got, want)
+
+
+def test_fused_upsampled_ohem_matches_materialized():
+    """prob_ohem_cross_entropy_upsampled == prob_ohem_cross_entropy of the
+    materialized upsample (the BiSeNetHead train path) — loss AND gradient,
+    with and without class weights, at x8 and at a non-128-divisible H."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchseg_tpu.ops.losses import (
+        CITYSCAPES_CLASS_WEIGHTS,
+        prob_ohem_cross_entropy,
+        prob_ohem_cross_entropy_upsampled,
+    )
+    from torchseg_tpu.ops.resize import upsample_by_scale
+
+    rng = np.random.default_rng(0)
+    for h, w, scale, weights in (
+        (16, 16, 8, None),
+        (16, 16, 8, CITYSCAPES_CLASS_WEIGHTS),
+        (3, 5, 8, None),  # H=24 exercises the divisor search (rt=24)
+        (8, 8, 2, CITYSCAPES_CLASS_WEIGHTS),
+    ):
+        scores = jnp.asarray(
+            rng.normal(size=(2, h, w, 19)).astype(np.float32))
+        labels = rng.integers(0, 19, (2, h * scale, w * scale))
+        labels[0, :4] = 255  # ignore stripes
+        labels = jnp.asarray(labels.astype(np.int32))
+        kw = dict(ignore_label=255, thresh=0.7, min_kept=64,
+                  class_weights=weights)
+
+        def ref(s):
+            return prob_ohem_cross_entropy(
+                upsample_by_scale(s, scale, dtype=jnp.float32), labels, **kw)
+
+        def fused(s):
+            return prob_ohem_cross_entropy_upsampled(
+                s, labels, scale, **kw)
+
+        l_ref, g_ref = jax.value_and_grad(ref)(scores)
+        l_fused, g_fused = jax.value_and_grad(fused)(scores)
+        np.testing.assert_allclose(float(l_fused), float(l_ref),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_upsampled_ohem_scale1_passthrough():
+    import jax.numpy as jnp
+
+    from torchseg_tpu.ops.losses import (
+        prob_ohem_cross_entropy,
+        prob_ohem_cross_entropy_upsampled,
+    )
+
+    rng = np.random.default_rng(1)
+    scores = jnp.asarray(rng.normal(size=(1, 16, 16, 19)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 19, (1, 16, 16)).astype(np.int32))
+    a = prob_ohem_cross_entropy_upsampled(scores, labels, 1, 255,
+                                          min_kept=32)
+    b = prob_ohem_cross_entropy(scores, labels, 255, min_kept=32)
+    assert float(a) == float(b)
+
+
+def test_fused_head_loss_registry_equivalence(monkeypatch):
+    """With the FUSED_UPSAMPLE_LOSS gate flipped, build_model+build_loss_fn
+    produce the same loss and the same parameter gradients as the
+    materialized-head path on a real BiSeNet (identical params: the head
+    scale is not a parameter)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchseg_tpu.experiments.registry import (
+        build_loss_fn,
+        build_model,
+        get_experiment,
+    )
+    from torchseg_tpu.ops import losses as losses_mod
+
+    cfg = get_experiment("cityscapes.bisenet.R18")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 19, (1, 64, 64)).astype(np.int32))
+    batch = {"image": x, "label": labels}
+
+    results = {}
+    for flag in (False, True):
+        monkeypatch.setattr(losses_mod, "FUSED_UPSAMPLE_LOSS", flag)
+        model = build_model(cfg, axis_name=None)
+        loss_fn = build_loss_fn(cfg, num_shards=1)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, x, train=True)
+
+        def loss_of(params):
+            outs, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return loss_fn(outs, batch)
+
+        results[flag] = jax.value_and_grad(loss_of)(variables["params"])
+
+    (l0, g0), (l1, g1) = results[False], results[True]
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)

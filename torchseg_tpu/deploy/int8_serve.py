@@ -263,6 +263,71 @@ def _sep_pack(blk_p, blk_s, eps, s_in, s_mid_vec, s_out):
             "c": jnp.asarray(c, jnp.float32)}
 
 
+def _fold_1x1(params, bstats, eps):
+    """Float-folded 1x1 conv+BN for the tiny (b,1,1,C) gate tensors: the
+    global-context projection and the ARM channel attentions run in f32 —
+    their inputs are per-image channel vectors, so int8 buys nothing."""
+    k = np.asarray(params["conv"]["kernel"], np.float32)
+    a, b = fold_bn_affine(params["bn"], bstats["bn"], eps)
+    return {"w": jnp.asarray(k.reshape(k.shape[2], k.shape[3])),
+            "a": jnp.asarray(np.asarray(a, np.float32)),
+            "b": jnp.asarray(np.asarray(b, np.float32))}
+
+
+def _dec_pack(variables, stats, eps, s_c16_body, s_c32):
+    """Int8 decoder package for the BiSeNet ARM/refine/FFM/head graph
+    (models/bisenet.py:135-188, reference network.py:60-85).
+
+    All SPATIAL convs (arm 3x3s, refine0/1, ffm 1x1, head 3x3) run int8
+    with the eval-BN affine folded into the epilogue; the per-image gate
+    math (global context, ARM attentions, FFM SE — all on (b,1,1,C)
+    vectors) and the bilinear top-down resizes stay f32, with the
+    requantization to the next conv's calibrated scale fused into those
+    elementwise chains by XLA.  The class-logit 1x1 stays float — the
+    usual PTQ accuracy rule (deploy/quantize.DEFAULT_SKIP).
+
+    ``s_c16_body``/``s_c32`` are the scales the BODY emits c16/c32 at
+    (the arm convs must interpret the codes with the producer's scale)."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    s_r0 = _scale(stats, "refine0/conv")
+    s_r1 = _scale(stats, "refine1/conv")
+    s_ffm = _scale(stats, "ffm/conv_1x1/conv")
+    s_h = _scale(stats, "head2/conv_3x3/conv")
+    head_1x1 = p["head2"]["conv_1x1"]
+    k_out = np.asarray(head_1x1["kernel"], np.float32)
+    return {
+        "gc": _fold_1x1(p["global_context"], s["global_context"], eps),
+        "arm0": _cbr_pack(p["arm0"]["conv_3x3"], s["arm0"]["conv_3x3"],
+                          eps, s_c32, None),
+        "att0": _fold_1x1(p["arm0"]["channel_attention"],
+                          s["arm0"]["channel_attention"], eps),
+        "refine0": _cbr_pack(p["refine0"], s["refine0"], eps, s_r0, None),
+        "arm1": _cbr_pack(p["arm1"]["conv_3x3"], s["arm1"]["conv_3x3"],
+                          eps, s_c16_body, None),
+        "att1": _fold_1x1(p["arm1"]["channel_attention"],
+                          s["arm1"]["channel_attention"], eps),
+        "refine1": _cbr_pack(p["refine1"], s["refine1"], eps, s_r1, s_ffm),
+        "ffm": _cbr_pack(p["ffm"]["conv_1x1"], s["ffm"]["conv_1x1"],
+                         eps, s_ffm, None),
+        # FFM SE convs have no BN and no bias (ops/blocks.py:385-406)
+        "ca1": jnp.asarray(np.asarray(
+            p["ffm"]["ca1"]["conv"]["kernel"], np.float32
+        ).reshape(-1, p["ffm"]["ca1"]["conv"]["kernel"].shape[-1])),
+        "ca2": jnp.asarray(np.asarray(
+            p["ffm"]["ca2"]["conv"]["kernel"], np.float32
+        ).reshape(-1, p["ffm"]["ca2"]["conv"]["kernel"].shape[-1])),
+        "head": _cbr_pack(p["head2"]["conv_3x3"], s["head2"]["conv_3x3"],
+                          eps, s_h, None),
+        "out_w": jnp.asarray(k_out.reshape(k_out.shape[2], k_out.shape[3])),
+        "out_b": jnp.asarray(np.asarray(head_1x1["bias"], np.float32)),
+        "s_c32": jnp.float32(s_c32),
+        "inv_r0": jnp.float32(1.0 / s_r0),
+        "inv_r1": jnp.float32(1.0 / s_r1),
+        "inv_h": jnp.float32(1.0 / s_h),
+    }
+
+
 # ----------------------------------------------------------------------
 # package builder
 # ----------------------------------------------------------------------
@@ -270,12 +335,21 @@ def _sep_pack(blk_p, blk_s, eps, s_in, s_mid_vec, s_out):
 def build_int8_package(variables, stats: Dict[str, float], *,
                        eps: float = 1e-5,
                        image_mean=(0.485, 0.456, 0.406),
-                       image_std=(0.229, 0.224, 0.225)):
+                       image_std=(0.229, 0.224, 0.225),
+                       decoder: str = "bf16"):
     """Precompute the int8-through parameter package for a classic-stem
     BiSeNet-R18: quantized weights + fused epilogue multipliers/biases for
     the stems, spatial path, and the ResNet-18 body.  ``stats`` is the
     conv-input absmax table from deploy.quantize.calibrate on the plain
-    float graph."""
+    float graph.
+
+    decoder="bf16" (default) hands the stage features to the flax decoder
+    in float; decoder="int8" also packs the ARM/refine/FFM/head decoder
+    (``_dec_pack``) so the whole serving graph is int8-through — the body
+    then emits c32/c16 as int8 and the spatial path emits int8 at the FFM
+    concat scale."""
+    if decoder not in ("bf16", "int8"):
+        raise ValueError(f"decoder must be 'bf16' or 'int8', got {decoder!r}")
     p = variables["params"]
     s = variables["batch_stats"]
     bb_p = p.get("backbone", {})
@@ -304,7 +378,10 @@ def build_int8_package(variables, stats: Dict[str, float], *,
     pkg["stem"] = _stem_pack(variables, eps, image_mean, image_std,
                              s_sp, s_bb)
 
-    # spatial path: 3x3/2, 3x3/2, 1x1 (last emits bf16 for the FFM)
+    # spatial path: 3x3/2, 3x3/2, 1x1 (last emits bf16 for the flax FFM,
+    # or int8 at the FFM concat scale when the decoder is int8 too)
+    int8_dec = decoder == "int8"
+    s_sp_out = st("ffm/conv_1x1/conv") if int8_dec else None
     sp = p["spatial_path"]
     sps = s["spatial_path"]
     s_mid1 = st("spatial_path/conv_3x3_2/conv")
@@ -314,7 +391,8 @@ def build_int8_package(variables, stats: Dict[str, float], *,
     pkg["sp2"] = _cbr_pack(sp["conv_3x3_2"], sps["conv_3x3_2"], eps,
                            s_mid1, s_mid2)
     pkg["sp3"] = _cbr_pack(sp["conv_1x1"], sps["conv_1x1"], eps,
-                           s_mid2, None)
+                           s_mid2, s_sp_out)
+    s_c32 = st("arm0/conv_3x3/conv") if int8_dec else None
 
     bb = p["backbone"]
     bbs = s["backbone"]
@@ -330,9 +408,10 @@ def build_int8_package(variables, stats: Dict[str, float], *,
                 stride = 2 if (li > 1 and bi == 0) else 1
                 s_mid = st(f"backbone/{name}/conv2")
                 # block output scale = next consumer's input absmax; the
-                # last block (layer4_1) emits float for the decoder
+                # last block (layer4_1) emits float for the bf16 decoder,
+                # int8 at arm0's input scale for the int8 decoder
                 if li == 4 and bi == nblocks - 1:
-                    s_out = None
+                    s_out = s_c32
                 elif bi + 1 < nblocks:
                     s_out = st(f"backbone/layer{li}_{bi + 1}/conv1")
                 else:
@@ -361,6 +440,9 @@ def build_int8_package(variables, stats: Dict[str, float], *,
                     s_block_in = s_out
         # decoder needs dequantized c16 (arm1 input): layer3 output scale
         pkg["s_c16"] = jnp.float32(st("backbone/layer4_0/conv1"))
+        if int8_dec:
+            pkg["dec"] = _dec_pack(variables, stats, eps,
+                                   st("backbone/layer4_0/conv1"), s_c32)
         return pkg
 
     # xception-39 body: stages of (4, 8, 4) blocks, 3 separables + optional
@@ -374,7 +456,7 @@ def build_int8_package(variables, stats: Dict[str, float], *,
             blks = bbs[name]
             stride = 2 if bi == 0 else 1
             if li == 3 and bi == nblocks - 1:
-                s_out = None
+                s_out = s_c32
             elif bi + 1 < nblocks:
                 s_out = st(f"backbone/layer{li}_{bi + 1}/sep1/depthwise")
             else:
@@ -408,6 +490,9 @@ def build_int8_package(variables, stats: Dict[str, float], *,
                 s_block_in = s_out
     # decoder dequant scale for c16 (= layer2 output feeding layer3_0)
     pkg["s_c16"] = jnp.float32(st("backbone/layer3_0/sep1/depthwise"))
+    if int8_dec:
+        pkg["dec"] = _dec_pack(variables, stats, eps,
+                               st("backbone/layer3_0/sep1/depthwise"), s_c32)
     return pkg
 
 
@@ -834,6 +919,60 @@ def _maxpool_i8(xq):
     )
 
 
+def _vec_1x1(v, e, relu):
+    """f32 1x1 conv+folded-BN on a (b,1,1,C) gate vector."""
+    y = jnp.einsum("bhwc,cd->bhwd", v, e["w"]) * e["a"] + e["b"]
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def _apply_int8_decoder(dec, spatial_q, c16q, c32q):
+    """Int8-through BiSeNet decoder: ARM -> top-down refine -> FFM -> head
+    (models/bisenet.py:135-188; reference network.py:60-85).  Returns the
+    /8 raw class logits in f32 — the caller owns the upsample/argmax
+    epilogue.  Spatial convs run int8; the per-image channel gates and
+    bilinear resizes run f32 with the requantization fused in."""
+    from ..ops.resize import resize_bilinear_align_corners
+
+    # global context from the quantized c32 codes (GAP is linear: exact)
+    n32 = c32q.shape[1] * c32q.shape[2]
+    gvec = jnp.sum(c32q.astype(jnp.int32), axis=(1, 2), keepdims=True
+                   ).astype(jnp.float32) * (dec["s_c32"] / n32)
+    gc = _vec_1x1(gvec, dec["gc"], relu=True)
+
+    # arm0 @ /32: int8 3x3 conv -> f32, channel gate from its own GAP;
+    # the align-corners resize of the (b,1,1,cc) context to /32 is an
+    # exact broadcast, so gc adds directly
+    fm0 = _apply_cbr(c32q, dec["arm0"], 1, 1, emit_int8=False)
+    att0 = jax.nn.sigmoid(_vec_1x1(
+        jnp.mean(fm0, axis=(1, 2), keepdims=True), dec["att0"], relu=False))
+    fm = fm0 * att0 + gc
+    x = resize_bilinear_align_corners(fm, c16q.shape[1:3])
+    r0 = _apply_cbr(_requant(x * dec["inv_r0"]), dec["refine0"], 1, 1,
+                    emit_int8=False)
+
+    # arm1 @ /16 + top-down, refine1 emits int8 at the FFM concat scale
+    fm1 = _apply_cbr(c16q, dec["arm1"], 1, 1, emit_int8=False)
+    att1 = jax.nn.sigmoid(_vec_1x1(
+        jnp.mean(fm1, axis=(1, 2), keepdims=True), dec["att1"], relu=False))
+    fm = fm1 * att1 + r0
+    x = resize_bilinear_align_corners(fm, spatial_q.shape[1:3])
+    ctx_q = _apply_cbr(_requant(x * dec["inv_r1"]), dec["refine1"], 1, 1)
+
+    # FFM: int8 concat (both halves share the calibrated concat scale)
+    # -> int8 1x1 conv -> f32 SE gate -> fm * (1 + se)
+    fm = _apply_cbr(jnp.concatenate([spatial_q, ctx_q], axis=-1),
+                    dec["ffm"], 1, 0, emit_int8=False)
+    se = jnp.mean(fm, axis=(1, 2), keepdims=True)
+    se = jnp.maximum(jnp.einsum("bhwc,cd->bhwd", se, dec["ca1"]), 0.0)
+    se = jax.nn.sigmoid(jnp.einsum("bhwc,cd->bhwd", se, dec["ca2"]))
+    v = fm + fm * se
+
+    # head: int8 3x3 CBR; the class-logit 1x1 stays float (PTQ rule)
+    h = _apply_cbr(_requant(v * dec["inv_h"]), dec["head"], 1, 1,
+                   emit_int8=False)
+    return jnp.einsum("bhwc,cd->bhwd", h, dec["out_w"]) + dec["out_b"]
+
+
 def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                             dtype=jnp.bfloat16, stem_mode: str = "bf16"):
     """Build the jitted int8-through serving function.
@@ -848,7 +987,12 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
     heads only) skips the in-model x-scale upsample and produces the
     full-res prediction with the row-tiled epilogue
     (ops/resize.tiled_upsample_argmax) — composes the int8 body with the
-    serving epilogue that never holds the full-res score tensor in HBM."""
+    serving epilogue that never holds the full-res score tensor in HBM.
+
+    If ``pkg`` was built with ``decoder="int8"`` (it carries a "dec"
+    entry), the ARM/refine/FFM/head decoder also runs int8-through
+    (``_apply_int8_decoder``) instead of the flax bf16 decoder — the
+    whole graph is then int8 from the uint8 input to the class logits."""
     if argmax == "tiled" and model.head_scales[2] <= 1:
         raise ValueError(
             "argmax='tiled' targets full-res heads (head_scales[2] > 1); "
@@ -887,10 +1031,12 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
         q = _requant(z)
         sp_q, bb_q = q[..., :n_sp], q[..., n_sp:]
 
-        # spatial path (int8 chain; last conv emits float for the FFM)
+        # spatial path (int8 chain; last conv emits float for the flax
+        # FFM, int8 at the concat scale for the int8 decoder)
+        use_dec = "dec" in pkg
         sq = _apply_cbr(sp_q, pkg["sp1"], 2, 1)
         sq = _apply_cbr(sq, pkg["sp2"], 2, 1)
-        spatial_out = _apply_cbr(sq, pkg["sp3"], 1, 0, emit_int8=False)
+        spatial_out = _apply_cbr(sq, pkg["sp3"], 1, 0, emit_int8=use_dec)
 
         # backbone body
         x = _maxpool_i8(bb_q)
@@ -902,29 +1048,44 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                 name = f"l{li}_{bi}"
                 last = li == last_stage and bi == nblocks - 1
                 x = apply_block(x, pkg[name], strides[name],
-                                emit_int8=not last)
+                                emit_int8=use_dec or not last)
             feats.append(x)
-        # decoder handoff: the last stage already emits float; the
-        # next-to-last dequantizes (arm1 reads its values); earlier stages
-        # are shape-only in the decoder
-        c_last = feats[-1]
-        c_prev = feats[-2].astype(jnp.float32) * pkg["s_c16"]
-        blocks = tuple(
-            f.astype(dtype) for f in feats[:-2]
-        ) + (c_prev.astype(dtype), c_last.astype(dtype))
-        dummy = jnp.zeros((1, 1, 1, 3), dtype)  # unused: all paths precomputed
-        scores = model.apply(
-            variables, dummy, train=False,
-            spatial_out=spatial_out.astype(dtype),
-            context_blocks=blocks,
-            raw_logits=argmax == "tiled",
-        )
+        if use_dec:
+            # int8-through decoder: c32/c16 stay int8 (the package
+            # quantized them at the arm input scales); /8 raw logits out
+            scores = _apply_int8_decoder(pkg["dec"], spatial_out,
+                                         feats[-2], feats[-1])
+        else:
+            # bf16 decoder handoff: the last stage already emits float;
+            # the next-to-last dequantizes (arm1 reads its values);
+            # earlier stages are shape-only in the decoder
+            c_last = feats[-1]
+            c_prev = feats[-2].astype(jnp.float32) * pkg["s_c16"]
+            blocks = tuple(
+                f.astype(dtype) for f in feats[:-2]
+            ) + (c_prev.astype(dtype), c_last.astype(dtype))
+            dummy = jnp.zeros((1, 1, 1, 3), dtype)  # unused: all precomputed
+            scores = model.apply(
+                variables, dummy, train=False,
+                spatial_out=spatial_out.astype(dtype),
+                context_blocks=blocks,
+                raw_logits=argmax == "tiled",
+            )
         if argmax == "tiled":
             from ..ops.resize import tiled_upsample_argmax
 
             scale = model.head_scales[2]
             h, w = scores.shape[1:3]
             return tiled_upsample_argmax(scores, (h * scale, w * scale))
+        if use_dec:
+            # mirror the flax eval tail (models/bisenet.py:178-188)
+            from ..ops.resize import upsample_by_scale
+
+            scores = upsample_by_scale(scores, model.head_scales[2],
+                                       dtype=jnp.float32)
+            if not argmax:
+                scores = jax.nn.log_softmax(
+                    scores.astype(jnp.float32), axis=-1)
         if argmax:
             return jnp.argmax(scores, axis=-1).astype(jnp.int32)
         return scores

@@ -15,10 +15,12 @@ from typing import Optional, Sequence, Tuple
 from .. import models
 from ..data import ADE, CamVid, Cityscapes, PascalContext, VOC
 from ..data.preprocess import ADETrainPre, DFNTrainPre, SegTrainPre
+from ..ops import losses as _losses
 from ..ops.losses import (
     CITYSCAPES_CLASS_WEIGHTS,
     cross_entropy_with_ignore,
     prob_ohem_cross_entropy,
+    prob_ohem_cross_entropy_upsampled,
     sigmoid_focal_loss_border,
 )
 from ..ops.norm import BatchNorm
@@ -229,6 +231,19 @@ def get_experiment(name: str) -> ExperimentConfig:
     return EXPERIMENTS[name]
 
 
+def _use_fused_head_loss(cfg: ExperimentConfig) -> bool:
+    """BiSeNet OHEM experiments train with raw /8 heads + the fused
+    upsample+loss when the chip-gated default is on (ops/losses.py)."""
+    return (_losses.FUSED_UPSAMPLE_LOSS and cfg.loss == "ohem"
+            and cfg.model.startswith("bisenet"))
+
+
+def _bisenet_head_scales(cfg: ExperimentConfig) -> Tuple[int, int, int]:
+    """Train-head upsample factors (the BiSeNet variant table,
+    models/bisenet.py:9-15)."""
+    return (2, 1, 1) if cfg.model_kwargs.get("speed") else (16, 8, 8)
+
+
 def build_model(cfg: ExperimentConfig, axis_name: Optional[str] = "data",
                 dtype=None):
     """Instantiate the Flax model with SyncBN bound to the mesh axis."""
@@ -239,8 +254,11 @@ def build_model(cfg: ExperimentConfig, axis_name: Optional[str] = "data",
         axis_name=axis_name,
     )
     factory = models.MODEL_REGISTRY[cfg.model]
+    kwargs = dict(cfg.model_kwargs)
+    if _use_fused_head_loss(cfg):
+        kwargs["train_raw_logits"] = True
     return factory(num_classes=cfg.num_classes, norm=norm, dtype=dtype,
-                   remat=cfg.remat, **cfg.model_kwargs)
+                   remat=cfg.remat, **kwargs)
 
 
 def build_preprocess(cfg: ExperimentConfig):
@@ -284,6 +302,24 @@ def build_loss_fn(cfg: ExperimentConfig, num_shards: int = 1):
 
         approx = cfg.ohem_approx
         weights = CITYSCAPES_CLASS_WEIGHTS if cfg.ohem_use_weight else None
+
+        if _use_fused_head_loss(cfg):
+            # the model emits raw heads (build_model sets train_raw_logits);
+            # the loss owns the x-scale upsample, row-tiled
+            scales = _bisenet_head_scales(cfg)
+
+            def loss_fn(outs, batch):
+                label = batch["label"]
+                total = 0.0
+                for key, scale in zip(("aux0", "aux1", "main"), scales):
+                    total = total + prob_ohem_cross_entropy_upsampled(
+                        outs[key], label, scale, ignore, thresh=thresh,
+                        min_kept=min_kept, class_weights=weights,
+                        approx_threshold=approx,
+                    )
+                return total
+
+            return loss_fn
 
         def loss_fn(outs, batch):
             label = batch["label"]

@@ -60,7 +60,7 @@ def psanet_r101(num_classes=150, norm=default_norm, dtype=None,
 
 
 def bisenet_r18(num_classes=19, norm=default_norm, dtype=None, speed=False,
-                remat=False):
+                remat=False, train_raw_logits=False):
     bb = resnet18(norm=norm, deep_stem=False, dtype=dtype, remat=remat)
     return BiSeNet(
         num_classes, bb,
@@ -68,28 +68,32 @@ def bisenet_r18(num_classes=19, norm=default_norm, dtype=None, speed=False,
         aux_mid=128 if speed else 256,
         main_mid=64,
         head_scales=(2, 1, 1) if speed else (16, 8, 8),
+        train_raw_logits=train_raw_logits,
         norm=norm, dtype=dtype,
     )
 
 
-def bisenet_r101(num_classes=19, norm=default_norm, dtype=None, remat=False):
+def bisenet_r101(num_classes=19, norm=default_norm, dtype=None, remat=False,
+                 train_raw_logits=False):
     bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
                    remat=remat)
     return BiSeNet(
         num_classes, bb,
         conv_channel=128, aux_mid=256, main_mid=256,
-        head_scales=(16, 8, 8), norm=norm, dtype=dtype,
+        head_scales=(16, 8, 8), train_raw_logits=train_raw_logits,
+        norm=norm, dtype=dtype,
     )
 
 
 def bisenet_x39(num_classes=19, norm=default_norm, dtype=None, speed=False,
-                remat=False):
+                remat=False, train_raw_logits=False):
     del remat  # xception39 is small; no checkpointing needed
     bb = xception39(norm=norm, dtype=dtype)
     return BiSeNet(
         num_classes, bb,
         conv_channel=128, aux_mid=128, main_mid=64,
         head_scales=(2, 1, 1) if speed else (16, 8, 8),
+        train_raw_logits=train_raw_logits,
         norm=norm, dtype=dtype,
     )
 

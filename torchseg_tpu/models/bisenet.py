@@ -94,6 +94,11 @@ class BiSeNet(nn.Module):
     aux_mid: int = 256
     main_mid: int = 64
     head_scales: Sequence[int] = (16, 8, 8)
+    # emit RAW (un-upsampled) head logits in train mode — the fused
+    # upsample+OHEM loss (ops/losses.prob_ohem_cross_entropy_upsampled)
+    # then owns the x-scale upsample, so the full-res f32 score tensors
+    # never hit HBM.  Params and eval behavior are identical either way.
+    train_raw_logits: bool = False
     norm: NormFactory = default_norm
     dtype: Optional[jnp.dtype] = None
 
@@ -166,7 +171,7 @@ class BiSeNet(nn.Module):
                 outs.append(
                     BiSeNetHead(
                         self.num_classes,
-                        scale,
+                        1 if self.train_raw_logits else scale,
                         mid,
                         norm=self.norm,
                         dtype=self.dtype,

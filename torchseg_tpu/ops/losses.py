@@ -182,8 +182,15 @@ def prob_ohem_cross_entropy(
     safe4 = jnp.where(valid4, labels, 0)
     logp4 = jax.nn.log_softmax(scores, axis=-1)
     gt_logp = _select_class(logp4, safe4).reshape(-1)
-    valid = valid4.reshape(-1)
-    safe_labels = safe4.reshape(-1)
+    return _ohem_tail(gt_logp, valid4.reshape(-1), safe4.reshape(-1), n,
+                      thresh, min_kept, class_weights, approx_threshold)
+
+
+def _ohem_tail(gt_logp, valid, safe_labels, n, thresh, min_kept,
+               class_weights, approx_threshold):
+    """Threshold selection + kept-pixel mean from per-pixel GT log-probs
+    (everything past the softmax in reference loss_opr.py:75-97); shared by
+    the plain and the fused-upsample OHEM entry points."""
     num_valid = jnp.sum(valid)
 
     gt_prob = jnp.exp(gt_logp)
@@ -216,6 +223,76 @@ def prob_ohem_cross_entropy(
     wgt = wgt * kept.astype(jnp.float32)
     denom = jnp.sum(wgt)
     return jnp.sum(nll * wgt) / jnp.maximum(denom, 1e-12)
+
+
+# Chip-gated default (flip to A/B): when True the registry builds BiSeNet
+# OHEM experiments with raw train heads + the fused upsample+loss below.
+# Stays False until the chip A/B proves it (same protocol as the maxpool
+# backward and stem s2d gates — see docs/DESIGN.md).
+FUSED_UPSAMPLE_LOSS = False
+
+
+def prob_ohem_cross_entropy_upsampled(
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    scale: int,
+    ignore_label: int,
+    thresh: float = 0.7,
+    min_kept: int = 256,
+    class_weights: Optional[jnp.ndarray] = None,
+    approx_threshold: bool = False,
+    row_tile: int = 128,
+):
+    """OHEM CE of the x``scale`` align-corners-upsampled logits WITHOUT
+    materializing the full-resolution score tensor.
+
+    Equivalent (up to fp associativity of the kept-pixel sums) to
+    ``prob_ohem_cross_entropy(upsample_by_scale(scores, scale, f32), ...)``
+    — the BiSeNet train-head path (models/bisenet.py heads; reference
+    network.py:163-166 upsample + loss_opr.py OHEM).  At bs2@1024² the
+    materialized path moves ~160 MB of f32 scores per head per direction;
+    here rows upsample first (small (H, w, C) intermediate), ``lax.map``
+    walks row chunks of the output so each (row_tile, W, C) score tile
+    exists only transiently, and ``jax.checkpoint`` recomputes the tile in
+    the backward pass — the serving-side trick of
+    ops/resize.tiled_upsample_argmax applied to the training loss.
+    """
+    if scale == 1:
+        return prob_ohem_cross_entropy(
+            scores, labels, ignore_label, thresh=thresh, min_kept=min_kept,
+            class_weights=class_weights, approx_threshold=approx_threshold,
+        )
+    from .resize import _interp_matrix_np
+
+    scores = scores.astype(jnp.float32)
+    b, h, w, c = scores.shape
+    oh, ow = h * scale, w * scale
+    assert labels.shape[1:] == (oh, ow), (labels.shape, scores.shape, scale)
+    rt = min(row_tile, oh)
+    while oh % rt:
+        rt -= 1
+    prec = jax.lax.Precision.HIGHEST
+    wh = jnp.asarray(_interp_matrix_np(h, oh), jnp.float32)
+    ww = jnp.asarray(_interp_matrix_np(w, ow), jnp.float32)
+    # H first, then W — the exact op order of resize_bilinear_align_corners
+    z = jnp.einsum("ph,bhwc->bpwc", wh, scores, precision=prec)
+    zc = z.reshape(b, oh // rt, rt, w, c).transpose(1, 0, 2, 3, 4)
+    lab = labels.reshape(b, oh // rt, rt, ow).transpose(1, 0, 2, 3)
+
+    @jax.checkpoint
+    def chunk(args):
+        zt, lt = args  # (b, rt, w, c), (b, rt, ow)
+        s = jnp.einsum("qw,bhwc->bhqc", ww, zt, precision=prec)
+        safe = jnp.where(lt != ignore_label, lt, 0)
+        return _select_class(jax.nn.log_softmax(s, axis=-1), safe)
+
+    gt_logp = jax.lax.map(chunk, (zc, lab))  # (oh//rt, b, rt, ow)
+    gt_logp = gt_logp.transpose(1, 0, 2, 3).reshape(-1)
+    valid4 = labels != ignore_label
+    valid = valid4.reshape(-1)
+    safe_labels = jnp.where(valid4, labels, 0).reshape(-1)
+    return _ohem_tail(gt_logp, valid, safe_labels, b * oh * ow,
+                      thresh, min_kept, class_weights, approx_threshold)
 
 
 def sigmoid_focal_loss_border(

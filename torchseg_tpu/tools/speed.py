@@ -78,6 +78,10 @@ def main(argv=None):
                         "uint8 s2d input, int8 activations end-to-end "
                         "through stems+spatial+backbone, bf16 decoder. "
                         "covers the whole zoo (all BiSeNet/PSPNet/PSANet/DFN/FCN).")
+    p.add_argument("--int8-decoder", action="store_true",
+                   help="with --int8-through on classic-stem BiSeNet: also "
+                        "run the ARM/refine/FFM/head decoder int8 "
+                        "(build_int8_package(decoder='int8'))")
     args = p.parse_args(argv)
 
     import jax
@@ -124,6 +128,15 @@ def main(argv=None):
             prepare_s2d_input_u8,
         )
 
+        classic_stem = not (
+            cfg.model == "bisenet_r101"
+            or cfg.model.startswith(("pspnet", "psanet", "dfn", "fcn"))
+        )
+        if args.int8_decoder and not classic_stem:
+            raise SystemExit(
+                "--int8-decoder only applies to the classic-stem BiSeNet "
+                f"int8-through path (got {cfg.model})"
+            )
         rng = np.random.default_rng(0)
         mean = np.asarray(cfg.image_mean, np.float32)
         std = np.asarray(cfg.image_std, np.float32)
@@ -174,6 +187,7 @@ def main(argv=None):
                 pkg = build_int8_package(
                     variables, stats, eps=cfg.bn_eps,
                     image_mean=cfg.image_mean, image_std=cfg.image_std,
+                    decoder="int8" if args.int8_decoder else "bf16",
                 )
                 infer, run_pkg = make_int8_through_infer(model, variables,
                                                          pkg)
@@ -208,8 +222,9 @@ def main(argv=None):
             times.append(time.perf_counter() - t0)
         dt = min(times) / args.chain
         res = {"ms_per_iter": dt * 1000, "fps": 1.0 / dt}
+        tag = "int8-through+dec" if args.int8_decoder else "int8-through"
         print(
-            f"{args.experiment} [int8-through] @ {args.input_size}: "
+            f"{args.experiment} [{tag}] @ {args.input_size}: "
             f"{res['ms_per_iter']:.3f} ms/iter, {res['fps']:.1f} FPS"
         )
         return res
