@@ -493,3 +493,27 @@ def test_int8_through_bisenet_r101_matches_float_graph():
     assert rel < 0.3, rel
     agree = (got.argmax(-1) == ref.argmax(-1)).mean()
     assert agree > 0.8, agree
+
+
+def test_int8_decoder_x39_matches_float_graph():
+    """decoder='int8' also covers the X39 body (same ARM/refine/FFM/head
+    decoder params; separable body packs via _sep_pack)."""
+    from torchseg_tpu.deploy.int8_serve import calibrate_channelwise
+
+    model, variables, img, xf = _setup(
+        seed=15, factory=models.bisenet_x39)
+    stats = calibrate_channelwise(model, variables, [xf])
+    pkg = build_int8_package(variables, stats, image_mean=MEAN,
+                             image_std=STD, decoder="int8")
+    assert "dec" in pkg
+    infer, run_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax=False, dtype=jnp.float32
+    )
+    xs = prepare_s2d_input_u8(img, image_mean=MEAN)
+    got = np.asarray(infer(run_pkg, xs), np.float32)
+    ref = np.asarray(model.apply(variables, xf, train=False), np.float32)
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).mean() / max(np.std(ref), 1e-6)
+    assert rel < 0.25, rel
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.85, agree

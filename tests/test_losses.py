@@ -403,3 +403,144 @@ def test_fused_head_loss_registry_equivalence(monkeypatch):
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_upsampled_ce_matches_materialized():
+    """cross_entropy_with_ignore_upsampled == cross_entropy_with_ignore of
+    the materialized upsample — loss AND gradient — including the PSP/PSA
+    pre_log_softmax (double-softmax) quirk and class weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchseg_tpu.ops.losses import (
+        CITYSCAPES_CLASS_WEIGHTS,
+        cross_entropy_with_ignore,
+        cross_entropy_with_ignore_upsampled,
+    )
+    from torchseg_tpu.ops.resize import upsample_by_scale
+
+    rng = np.random.default_rng(3)
+    for h, w, scale, pre_ls, weights in (
+        (6, 6, 8, True, None),      # PSP/PSA protocol (quirk on)
+        (4, 8, 32, False, None),    # FCN main
+        (8, 16, 16, False, None),   # FCN aux
+        (3, 5, 4, False, CITYSCAPES_CLASS_WEIGHTS[:7]),  # DFN-ish + weights
+    ):
+        c = 7 if weights is not None else 11
+        scores = jnp.asarray(
+            rng.normal(size=(2, h, w, c)).astype(np.float32))
+        labels = rng.integers(0, c, (2, h * scale, w * scale))
+        labels[1, -3:] = 255
+        labels = jnp.asarray(labels.astype(np.int32))
+
+        def ref(s):
+            up = upsample_by_scale(s, scale, dtype=jnp.float32)
+            if pre_ls:
+                up = jax.nn.log_softmax(up, axis=-1)
+            return cross_entropy_with_ignore(up, labels, 255,
+                                             class_weights=weights)
+
+        def fused(s):
+            return cross_entropy_with_ignore_upsampled(
+                s, labels, scale, 255, class_weights=weights,
+                pre_log_softmax=pre_ls)
+
+        l_ref, g_ref = jax.value_and_grad(ref)(scores)
+        l_fused, g_fused = jax.value_and_grad(fused)(scores)
+        np.testing.assert_allclose(float(l_fused), float(l_ref),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_ce_registry_equivalence_pspnet(monkeypatch):
+    """Gate flipped, PSPNet-R50 (ce loss, pre_log_softmax quirk): same loss
+    and parameter gradients as the materialized in-model upsample path."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchseg_tpu.experiments.registry import (
+        build_loss_fn,
+        build_model,
+        get_experiment,
+    )
+    from torchseg_tpu.ops import losses as losses_mod
+
+    cfg = get_experiment("ade.pspnet.R50_v1c")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 48, 48, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 150, (1, 48, 48)).astype(np.int32))
+    batch = {"image": x, "label": labels}
+
+    results = {}
+    for flag in (False, True):
+        monkeypatch.setattr(losses_mod, "FUSED_UPSAMPLE_LOSS", flag)
+        model = build_model(cfg, axis_name=None)
+        loss_fn = build_loss_fn(cfg, num_shards=1)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, x, train=True)
+
+        def loss_of(params):
+            outs, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return loss_fn(outs, batch)
+
+        results[flag] = jax.value_and_grad(loss_of)(variables["params"])
+
+    (l0, g0), (l1, g1) = results[False], results[True]
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_dfn_registry_equivalence(monkeypatch):
+    """Gate flipped, DFN (4 smooth heads x32/x16/x8/x4 + border focal):
+    same loss and parameter gradients as the materialized path."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchseg_tpu.experiments.registry import (
+        build_loss_fn,
+        build_model,
+        get_experiment,
+    )
+    from torchseg_tpu.ops import losses as losses_mod
+
+    cfg = get_experiment("cityscapes.dfn.R101_v1c")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 19, (1, 64, 64)).astype(np.int32))
+    aux = jnp.asarray(rng.integers(0, 2, (1, 64, 64)).astype(np.int32))
+    batch = {"image": x, "label": labels, "aux_label": aux}
+
+    results = {}
+    for flag in (False, True):
+        monkeypatch.setattr(losses_mod, "FUSED_UPSAMPLE_LOSS", flag)
+        model = build_model(cfg, axis_name=None)
+        loss_fn = build_loss_fn(cfg, num_shards=1)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, x, train=True)
+
+        def loss_of(params):
+            outs, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return loss_fn(outs, batch)
+
+        results[flag] = jax.value_and_grad(loss_of)(variables["params"])
+
+    (l0, g0), (l1, g1) = results[False], results[True]
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)

@@ -19,6 +19,7 @@ from ..ops import losses as _losses
 from ..ops.losses import (
     CITYSCAPES_CLASS_WEIGHTS,
     cross_entropy_with_ignore,
+    cross_entropy_with_ignore_upsampled,
     prob_ohem_cross_entropy,
     prob_ohem_cross_entropy_upsampled,
     sigmoid_focal_loss_border,
@@ -232,10 +233,16 @@ def get_experiment(name: str) -> ExperimentConfig:
 
 
 def _use_fused_head_loss(cfg: ExperimentConfig) -> bool:
-    """BiSeNet OHEM experiments train with raw /8 heads + the fused
-    upsample+loss when the chip-gated default is on (ops/losses.py)."""
-    return (_losses.FUSED_UPSAMPLE_LOSS and cfg.loss == "ohem"
-            and cfg.model.startswith("bisenet"))
+    """Upsample-then-loss experiments train with raw heads + the fused
+    upsample+loss when the chip-gated default is on (ops/losses.py):
+    BiSeNet OHEM, PSP/PSA/FCN CE, and the DFN smooth branch."""
+    if not _losses.FUSED_UPSAMPLE_LOSS:
+        return False
+    if cfg.loss == "ohem":
+        return cfg.model.startswith("bisenet")
+    if cfg.loss == "ce":
+        return cfg.model.startswith(("pspnet", "psanet", "fcn"))
+    return cfg.loss == "dfn"
 
 
 def _bisenet_head_scales(cfg: ExperimentConfig) -> Tuple[int, int, int]:
@@ -282,6 +289,26 @@ def build_loss_fn(cfg: ExperimentConfig, num_shards: int = 1):
 
     if cfg.loss == "ce":
         ratio = cfg.aux_loss_ratio
+
+        if _use_fused_head_loss(cfg):
+            # raw heads (build_model sets train_raw_logits); the loss owns
+            # the upsample, row-tiled.  pre_log_softmax reproduces the
+            # PSP/PSA in-network log_softmax quirk (models/pspnet.py).
+            pre_ls = cfg.model.startswith(("pspnet", "psanet"))
+            main_scale, aux_scale = ((32, 16) if cfg.model.startswith("fcn")
+                                     else (8, 8))
+
+            def loss_fn(outs, batch):
+                loss = cross_entropy_with_ignore_upsampled(
+                    outs["main"], batch["label"], main_scale, ignore,
+                    pre_log_softmax=pre_ls)
+                if "aux" in outs:
+                    loss = loss + ratio * cross_entropy_with_ignore_upsampled(
+                        outs["aux"], batch["label"], aux_scale, ignore,
+                        pre_log_softmax=pre_ls)
+                return loss
+
+            return loss_fn
 
         def loss_fn(outs, batch):
             loss = cross_entropy_with_ignore(outs["main"], batch["label"], ignore)
@@ -337,13 +364,21 @@ def build_loss_fn(cfg: ExperimentConfig, num_shards: int = 1):
     if cfg.loss == "dfn":
         alpha = cfg.dfn_alpha
         border_ignore = cfg.border_ignore_label
+        fused = _use_fused_head_loss(cfg)
 
         def loss_fn(outs, batch):
             label = batch["label"]
             aux_label = batch["aux_label"]
             loss = 0.0
-            for s in outs["smooth"]:
-                loss = loss + cross_entropy_with_ignore(s, label, ignore)
+            for i, s in enumerate(outs["smooth"]):
+                if fused:
+                    # raw smooth heads; scales 32/16/8/4 (models/dfn.py
+                    # smooth_head{i}); border branch stays materialized
+                    # (1-channel x4 — tiny)
+                    loss = loss + cross_entropy_with_ignore_upsampled(
+                        s, label, 2 ** (5 - i), ignore)
+                else:
+                    loss = loss + cross_entropy_with_ignore(s, label, ignore)
             aux = 0.0
             for b in outs["border"]:
                 aux = aux + sigmoid_focal_loss_border(b, aux_label,

@@ -25,37 +25,45 @@ from ..ops.blocks import default_norm
 _DILATED = dict(layer_strides=(1, 2, 1, 1), layer_dilations=(1, 1, 2, 4))
 
 
-def fcn32s_r101(num_classes=21, norm=default_norm, dtype=None, remat=False):
+def fcn32s_r101(num_classes=21, norm=default_norm, dtype=None, remat=False,
+                train_raw_logits=False):
     bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
                    remat=remat)
-    return FCN(num_classes, bb, norm=norm, dtype=dtype)
+    return FCN(num_classes, bb, train_raw_logits=train_raw_logits,
+               norm=norm, dtype=dtype)
 
 
-def pspnet_r50(num_classes=150, norm=default_norm, dtype=None, remat=False):
+def pspnet_r50(num_classes=150, norm=default_norm, dtype=None, remat=False,
+               train_raw_logits=False):
     bb = resnet50(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
                   remat=remat, **_DILATED)
-    return PSPNet(num_classes, bb, norm=norm, dtype=dtype)
+    return PSPNet(num_classes, bb, train_raw_logits=train_raw_logits,
+                  norm=norm, dtype=dtype)
 
 
-def pspnet_r101(num_classes=150, norm=default_norm, dtype=None, remat=False):
+def pspnet_r101(num_classes=150, norm=default_norm, dtype=None, remat=False,
+                train_raw_logits=False):
     bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
                    remat=remat, **_DILATED)
-    return PSPNet(num_classes, bb, norm=norm, dtype=dtype)
+    return PSPNet(num_classes, bb, train_raw_logits=train_raw_logits,
+                  norm=norm, dtype=dtype)
 
 
 def psanet_r50(num_classes=150, norm=default_norm, dtype=None,
-               att_channels=3600, remat=False):
+               att_channels=3600, remat=False, train_raw_logits=False):
     bb = resnet50(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
                   remat=remat, **_DILATED)
-    return PSANet(num_classes, bb, att_channels=att_channels, norm=norm,
+    return PSANet(num_classes, bb, att_channels=att_channels,
+                  train_raw_logits=train_raw_logits, norm=norm,
                   dtype=dtype)
 
 
 def psanet_r101(num_classes=150, norm=default_norm, dtype=None,
-                att_channels=3600, remat=False):
+                att_channels=3600, remat=False, train_raw_logits=False):
     bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
                    remat=remat, **_DILATED)
-    return PSANet(num_classes, bb, att_channels=att_channels, norm=norm,
+    return PSANet(num_classes, bb, att_channels=att_channels,
+                  train_raw_logits=train_raw_logits, norm=norm,
                   dtype=dtype)
 
 
@@ -98,10 +106,12 @@ def bisenet_x39(num_classes=19, norm=default_norm, dtype=None, speed=False,
     )
 
 
-def dfn_r101(num_classes=19, norm=default_norm, dtype=None, remat=False):
+def dfn_r101(num_classes=19, norm=default_norm, dtype=None, remat=False,
+             train_raw_logits=False):
     bb = resnet101(norm=norm, deep_stem=True, stem_width=64, dtype=dtype,
                    remat=remat)
-    return DFN(num_classes, bb, norm=norm, dtype=dtype)
+    return DFN(num_classes, bb, train_raw_logits=train_raw_logits,
+               norm=norm, dtype=dtype)
 
 
 MODEL_REGISTRY = {

@@ -62,6 +62,10 @@ class DFN(nn.Module):
     backbone: nn.Module  # resnet101 v1c, standard strides
     smooth_inner: int = 512
     border_inner: int = 21
+    # emit RAW (un-upsampled) smooth-head logits in train mode — the fused
+    # upsample+CE loss owns the x32/x16/x8/x4 upsamples (see
+    # models/pspnet.py).  The x4 1-channel border heads stay as-is (tiny).
+    train_raw_logits: bool = False
     norm: NormFactory = default_norm
     dtype: Optional[jnp.dtype] = None
 
@@ -94,8 +98,10 @@ class DFN(nn.Module):
             fm = RefineResidual(self.smooth_inner, 3, has_relu=True,
                                 norm=self.norm, dtype=self.dtype,
                                 name=f"smooth_aft_rrb{i}")(fm, train)
+            head_scale = (1 if train and self.train_raw_logits
+                          else 2 ** (5 - i))
             smooth_out.append(
-                DFNHead(self.num_classes, 2 ** (5 - i), norm=self.norm,
+                DFNHead(self.num_classes, head_scale, norm=self.norm,
                         dtype=self.dtype, name=f"smooth_head{i}")(fm, train)
             )
             if i != 3:

@@ -54,6 +54,9 @@ class FCN(nn.Module):
 
     num_classes: int
     backbone: nn.Module
+    # emit RAW /32 and /16 head logits in train mode — the fused
+    # upsample+CE loss owns the x32/x16 upsample (see models/pspnet.py)
+    train_raw_logits: bool = False
     norm: NormFactory = default_norm
     dtype: Optional[jnp.dtype] = None
 
@@ -66,11 +69,13 @@ class FCN(nn.Module):
         fm = FCNHead(
             self.num_classes, norm=self.norm, dtype=self.dtype, name="head"
         )(blocks[-1], train)
-        pred = upsample_by_scale(fm, 32, dtype=jnp.float32)
         if not train:
-            return pred
+            return upsample_by_scale(fm, 32, dtype=jnp.float32)
         aux = FCNHead(
             self.num_classes, norm=self.norm, dtype=self.dtype, name="aux_head"
         )(blocks[-2], train)
+        if self.train_raw_logits:
+            return {"main": fm, "aux": aux}
+        pred = upsample_by_scale(fm, 32, dtype=jnp.float32)
         aux_pred = upsample_by_scale(aux, 16, dtype=jnp.float32)
         return {"main": pred, "aux": aux_pred}

@@ -135,6 +135,9 @@ class PSANet(nn.Module):
     num_classes: int
     backbone: nn.Module  # dilated os=8 resnet
     att_channels: int = 3600
+    # emit RAW /8 head logits in train mode (see models/pspnet.py — same
+    # fused upsample+CE contract, pre_log_softmax=True quirk included)
+    train_raw_logits: bool = False
     norm: NormFactory = default_norm
     dtype: Optional[jnp.dtype] = None
 
@@ -148,12 +151,14 @@ class PSANet(nn.Module):
             self.num_classes, self.att_channels, norm=self.norm,
             dtype=self.dtype, name="psa_layer"
         )(blocks[-1], train)
-        psa = upsample_by_scale(psa, 8, dtype=jnp.float32)
-        psa = jax.nn.log_softmax(psa, axis=-1)
         if not train:
-            return psa
+            psa = upsample_by_scale(psa, 8, dtype=jnp.float32)
+            return jax.nn.log_softmax(psa, axis=-1)
         aux = AuxHead(self.num_classes, blocks[-2].shape[-1], norm=self.norm,
                       dtype=self.dtype, name="aux_layer")(blocks[-2], train)
-        aux = upsample_by_scale(aux, 8, dtype=jnp.float32)
-        aux = jax.nn.log_softmax(aux, axis=-1)
+        if not self.train_raw_logits:
+            psa = upsample_by_scale(psa, 8, dtype=jnp.float32)
+            psa = jax.nn.log_softmax(psa, axis=-1)
+            aux = upsample_by_scale(aux, 8, dtype=jnp.float32)
+            aux = jax.nn.log_softmax(aux, axis=-1)
         return {"main": psa, "aux": aux}

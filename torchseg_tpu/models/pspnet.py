@@ -84,6 +84,11 @@ class AuxHead(nn.Module):
 class PSPNet(nn.Module):
     num_classes: int
     backbone: nn.Module  # must be a dilated (os=8) resnet
+    # emit RAW /8 head logits in train mode — the fused upsample+CE loss
+    # (ops/losses.cross_entropy_with_ignore_upsampled, pre_log_softmax=True
+    # for the reference's double-softmax quirk) then owns the x8 upsample
+    # and the in-network log_softmax.  Params and eval are identical.
+    train_raw_logits: bool = False
     norm: NormFactory = default_norm
     dtype: Optional[jnp.dtype] = None
 
@@ -99,12 +104,14 @@ class PSPNet(nn.Module):
                              dtype=self.dtype, name="psp_layer")(
             blocks[-1], train
         )
-        psp = upsample_by_scale(psp, 8, dtype=jnp.float32)
-        psp = jax.nn.log_softmax(psp, axis=-1)
         if not train:
-            return psp
+            psp = upsample_by_scale(psp, 8, dtype=jnp.float32)
+            return jax.nn.log_softmax(psp, axis=-1)
         aux = AuxHead(self.num_classes, blocks[-2].shape[-1], norm=self.norm,
                       dtype=self.dtype, name="aux_layer")(blocks[-2], train)
-        aux = upsample_by_scale(aux, 8, dtype=jnp.float32)
-        aux = jax.nn.log_softmax(aux, axis=-1)
+        if not self.train_raw_logits:
+            psp = upsample_by_scale(psp, 8, dtype=jnp.float32)
+            psp = jax.nn.log_softmax(psp, axis=-1)
+            aux = upsample_by_scale(aux, 8, dtype=jnp.float32)
+            aux = jax.nn.log_softmax(aux, axis=-1)
         return {"main": psp, "aux": aux}

@@ -225,43 +225,34 @@ def _ohem_tail(gt_logp, valid, safe_labels, n, thresh, min_kept,
     return jnp.sum(nll * wgt) / jnp.maximum(denom, 1e-12)
 
 
-# Chip-gated default (flip to A/B): when True the registry builds BiSeNet
-# OHEM experiments with raw train heads + the fused upsample+loss below.
+# Chip-gated default (flip to A/B): when True the registry builds the
+# upsample-then-loss experiments (BiSeNet OHEM, PSP/PSA/FCN/DFN CE) with
+# raw train heads + the fused upsample+loss entry points below.
 # Stays False until the chip A/B proves it (same protocol as the maxpool
 # backward and stem s2d gates — see docs/DESIGN.md).
 FUSED_UPSAMPLE_LOSS = False
 
 
-def prob_ohem_cross_entropy_upsampled(
-    scores: jnp.ndarray,
-    labels: jnp.ndarray,
-    scale: int,
-    ignore_label: int,
-    thresh: float = 0.7,
-    min_kept: int = 256,
-    class_weights: Optional[jnp.ndarray] = None,
-    approx_threshold: bool = False,
-    row_tile: int = 128,
-):
-    """OHEM CE of the x``scale`` align-corners-upsampled logits WITHOUT
-    materializing the full-resolution score tensor.
+def _upsampled_gt_logp(scores, labels, scale, ignore_label, row_tile,
+                       pre_log_softmax=False):
+    """Per-pixel GT-class log-prob of the x``scale`` align-corners-upsampled
+    logits, computed row-tile by row-tile so the full-resolution score
+    tensor never materializes.
 
-    Equivalent (up to fp associativity of the kept-pixel sums) to
-    ``prob_ohem_cross_entropy(upsample_by_scale(scores, scale, f32), ...)``
-    — the BiSeNet train-head path (models/bisenet.py heads; reference
-    network.py:163-166 upsample + loss_opr.py OHEM).  At bs2@1024² the
-    materialized path moves ~160 MB of f32 scores per head per direction;
-    here rows upsample first (small (H, w, C) intermediate), ``lax.map``
+    Rows upsample first (small (B, OH, w, C) intermediate), ``lax.map``
     walks row chunks of the output so each (row_tile, W, C) score tile
     exists only transiently, and ``jax.checkpoint`` recomputes the tile in
     the backward pass — the serving-side trick of
     ops/resize.tiled_upsample_argmax applied to the training loss.
+
+    ``pre_log_softmax`` reproduces the PSPNet/PSANet train graph
+    (upsample -> log_softmax in the network, then CrossEntropy applies
+    softmax AGAIN — reference model/pspnet/*/network.py:50-55 quirk): the
+    extra log_softmax runs inside the tile, before the loss's own one.
+
+    Returns the flattened (B*OH*OW,) GT log-probs (invalid pixels read
+    class 0 — callers mask).
     """
-    if scale == 1:
-        return prob_ohem_cross_entropy(
-            scores, labels, ignore_label, thresh=thresh, min_kept=min_kept,
-            class_weights=class_weights, approx_threshold=approx_threshold,
-        )
     from .resize import _interp_matrix_np
 
     scores = scores.astype(jnp.float32)
@@ -283,11 +274,84 @@ def prob_ohem_cross_entropy_upsampled(
     def chunk(args):
         zt, lt = args  # (b, rt, w, c), (b, rt, ow)
         s = jnp.einsum("qw,bhwc->bhqc", ww, zt, precision=prec)
+        if pre_log_softmax:
+            s = jax.nn.log_softmax(s, axis=-1)
         safe = jnp.where(lt != ignore_label, lt, 0)
         return _select_class(jax.nn.log_softmax(s, axis=-1), safe)
 
     gt_logp = jax.lax.map(chunk, (zc, lab))  # (oh//rt, b, rt, ow)
-    gt_logp = gt_logp.transpose(1, 0, 2, 3).reshape(-1)
+    return gt_logp.transpose(1, 0, 2, 3).reshape(-1)
+
+
+def cross_entropy_with_ignore_upsampled(
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    scale: int,
+    ignore_label: int,
+    class_weights: Optional[jnp.ndarray] = None,
+    pre_log_softmax: bool = False,
+    row_tile: int = 128,
+):
+    """``cross_entropy_with_ignore(upsample_by_scale(scores, scale, f32))``
+    without materializing the full-resolution score tensor (equivalent up
+    to fp associativity of the valid-pixel sums).
+
+    This is the PSPNet/PSANet (x8 heads, ``pre_log_softmax=True`` for their
+    double-softmax quirk), FCN (x32/x16) and DFN smooth-branch (x32..x4)
+    train path; see ``_upsampled_gt_logp`` for the tiling scheme.  At ADE's
+    bs2-per-chip 480² with 150 classes the materialized path moves ~550 MB
+    of f32 score+log_softmax tensors per head per direction.
+    """
+    if scale == 1:
+        if pre_log_softmax:
+            scores = jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1)
+        return cross_entropy_with_ignore(scores, labels, ignore_label,
+                                         class_weights=class_weights)
+    gt_logp = _upsampled_gt_logp(scores, labels, scale, ignore_label,
+                                 row_tile, pre_log_softmax=pre_log_softmax)
+    valid4 = labels != ignore_label
+    valid = valid4.reshape(-1)
+    safe_labels = jnp.where(valid4, labels, 0).reshape(-1)
+    nll = -gt_logp
+    if class_weights is not None:
+        w = _lookup_table(class_weights, safe_labels)
+    else:
+        w = jnp.ones_like(nll)
+    w = w * valid.astype(jnp.float32)
+    denom = jnp.sum(w)
+    return jnp.sum(nll * w) / jnp.maximum(denom, 1e-12)
+
+
+def prob_ohem_cross_entropy_upsampled(
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    scale: int,
+    ignore_label: int,
+    thresh: float = 0.7,
+    min_kept: int = 256,
+    class_weights: Optional[jnp.ndarray] = None,
+    approx_threshold: bool = False,
+    row_tile: int = 128,
+):
+    """OHEM CE of the x``scale`` align-corners-upsampled logits WITHOUT
+    materializing the full-resolution score tensor.
+
+    Equivalent (up to fp associativity of the kept-pixel sums) to
+    ``prob_ohem_cross_entropy(upsample_by_scale(scores, scale, f32), ...)``
+    — the BiSeNet train-head path (models/bisenet.py heads; reference
+    network.py:163-166 upsample + loss_opr.py OHEM).  At bs2@1024² the
+    materialized path moves ~160 MB of f32 scores per head per direction;
+    see ``_upsampled_gt_logp`` for the row-tiling scheme.
+    """
+    if scale == 1:
+        return prob_ohem_cross_entropy(
+            scores, labels, ignore_label, thresh=thresh, min_kept=min_kept,
+            class_weights=class_weights, approx_threshold=approx_threshold,
+        )
+    b = scores.shape[0]
+    oh, ow = labels.shape[1:]
+    gt_logp = _upsampled_gt_logp(scores, labels, scale, ignore_label,
+                                 row_tile)
     valid4 = labels != ignore_label
     valid = valid4.reshape(-1)
     safe_labels = jnp.where(valid4, labels, 0).reshape(-1)

@@ -30,7 +30,18 @@ def main(argv=None):
     p.add_argument("--top-ops", type=int, default=0,
                    help="print the top-N ops by device time from a short "
                         "XLA trace of the train step (tools/profile)")
+    p.add_argument("--fused-loss", dest="fused_loss", action="store_true",
+                   default=None,
+                   help="A/B the fused upsample+loss gate "
+                        "(ops/losses.FUSED_UPSAMPLE_LOSS): raw train heads, "
+                        "loss owns the x-scale upsample row-tiled")
+    p.add_argument("--no-fused-loss", dest="fused_loss",
+                   action="store_false")
     args = p.parse_args(argv)
+
+    if args.fused_loss is not None:
+        from ..ops import losses as _losses
+        _losses.FUSED_UPSAMPLE_LOSS = args.fused_loss
 
     import jax
 
