@@ -77,3 +77,16 @@ def test_speed_summary_prints_op_table(capsys):
     assert "total params" in out
     assert "top ops @" in out
     assert "conv" in out
+
+
+def test_train_speed_memory_only(capsys):
+    """--memory-only compiles the train step AOT and reports XLA's
+    per-device memory analysis without executing."""
+    from torchseg_tpu.tools.train_speed import main
+
+    res = main(["-e", "cityscapes.bisenet.R18", "--crop", "64", "64",
+                "--batch-size", "8", "--steps", "1", "--memory-only"])
+    mem = res["memory"]
+    assert mem["temp_size_in_bytes"] > 0
+    assert mem["argument_size_in_bytes"] > 0
+    assert "high-water" in capsys.readouterr().out

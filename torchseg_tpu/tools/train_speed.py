@@ -37,6 +37,14 @@ def main(argv=None):
                         "loss owns the x-scale upsample row-tiled")
     p.add_argument("--no-fused-loss", dest="fused_loss",
                    action="store_false")
+    p.add_argument("--memory", action="store_true",
+                   help="print XLA's compile-time memory analysis of the "
+                        "train step (per-device temp/arg/output bytes — "
+                        "the HBM high-water estimate; works through the "
+                        "tunnel, which hides runtime memory_stats)")
+    p.add_argument("--memory-only", action="store_true",
+                   help="like --memory but skip execution entirely "
+                        "(compile-only; safe for configs near/over HBM)")
     args = p.parse_args(argv)
 
     if args.fused_loss is not None:
@@ -160,6 +168,34 @@ def main(argv=None):
         check_vma=False,
     )
     fn = jax.jit(sharded)
+
+    if args.memory or args.memory_only:
+        t0 = time.perf_counter()
+        compiled = fn.lower(state, batch, jax.random.PRNGKey(2)).compile()
+        print(f"compile (AOT) {time.perf_counter() - t0:.1f}s")
+        mem = {}
+        try:
+            ma = compiled.memory_analysis()
+            for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                      "output_size_in_bytes", "alias_size_in_bytes"):
+                mem[k] = int(getattr(ma, k, 0) or 0)
+        except Exception as e:
+            print(f"(memory analysis unavailable: {e})")
+        if mem:
+            gib = 1024 ** 3
+            # arguments alias into outputs (donated state); high-water is
+            # live args + temporaries
+            hw = mem["temp_size_in_bytes"] + mem["argument_size_in_bytes"]
+            print(
+                f"memory analysis (per device): "
+                f"temp {mem['temp_size_in_bytes'] / gib:.2f} GiB, "
+                f"args {mem['argument_size_in_bytes'] / gib:.2f} GiB, "
+                f"out {mem['output_size_in_bytes'] / gib:.2f} GiB, "
+                f"aliased {mem['alias_size_in_bytes'] / gib:.2f} GiB "
+                f"-> high-water ~{hw / gib:.2f} GiB"
+            )
+        if args.memory_only:
+            return {"memory": mem}
 
     t0 = time.perf_counter()
     out_state, acc = fn(state, batch, jax.random.PRNGKey(2))
