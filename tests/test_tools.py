@@ -90,3 +90,20 @@ def test_train_speed_memory_only(capsys):
     assert mem["temp_size_in_bytes"] > 0
     assert mem["argument_size_in_bytes"] > 0
     assert "high-water" in capsys.readouterr().out
+
+
+def test_roofline_forward_and_train(capsys):
+    """Roofline analysis lowers both graphs and reports positive FLOPs,
+    bytes, and speed-of-light bounds."""
+    from torchseg_tpu.tools.roofline import main
+
+    res = main(["-e", "cityscapes.bisenet.R18.speed",
+                "--input-size", "1x64x128x3", "--measured-ms", "1.0"])
+    assert res["flops"] > 0 and res["bytes"] > 0
+    assert res["sol_ms"] > 0 and 0 < res["sol_fraction"] < 1
+    out = capsys.readouterr().out
+    assert "speed-of-light" in out and "roofline" in out
+
+    res_t = main(["-e", "cityscapes.bisenet.R18", "--train",
+                  "--batch-size", "1", "--crop", "64", "64"])
+    assert res_t["flops"] > res["flops"]  # bwd ~2x fwd even at tiny crop

@@ -1,0 +1,157 @@
+"""Roofline / speed-of-light analysis for any experiment's forward or
+train step.
+
+XLA's HLO cost analysis of the compiled program gives exact post-fusion
+FLOPs and bytes-accessed; dividing by the chip's peak compute and HBM
+bandwidth gives the two speed-of-light bounds.  The larger bound is the
+roofline latency — a measured time close to it means the graph runs at
+hardware speed (the reference has no such tool; its closest analog is the
+MAdd column of furnace/tools/benchmark/reporter.py:22-93, which counts
+module-level multiply-adds pre-fusion).
+
+v5e defaults: 197 bf16 TFLOP/s, 819 GB/s HBM (394 int8 TOP/s — pass
+--peak-tflops 394 for int8 graphs).
+
+Caveat: FLOPs are backend-independent; bytes-accessed reflects the
+compiling backend's fusion/layout choices, so run on the target backend
+for a true bandwidth bound (a CPU-backend compile still gives a usable
+estimate).
+
+Usage:
+    python -m torchseg_tpu.tools.roofline -e cityscapes.bisenet.R18.speed \
+        --input-size 1x1024x2048x3 --measured-ms 4.608
+    python -m torchseg_tpu.tools.roofline -e cityscapes.bisenet.R18 \
+        --train --batch-size 2 --measured-ms 34.15
+"""
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+
+def _cost(compiled):
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    return (float(cost.get("flops", 0.0)),
+            float(cost.get("bytes accessed", 0.0)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-e", "--experiment", required=True)
+    p.add_argument("--input-size", default=None,
+                   help="NxHxWxC for the forward graph (default: 1 x the "
+                        "experiment's eval crop)")
+    p.add_argument("--train", action="store_true",
+                   help="analyze the full train step (fwd+loss+bwd+SGD) "
+                        "instead of the serving forward")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--crop", type=int, nargs=2, default=None)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--f32", dest="bf16", action="store_false")
+    p.add_argument("--peak-tflops", type=float, default=197.0,
+                   help="chip peak TFLOP/s (v5e bf16 197; int8 394)")
+    p.add_argument("--peak-gbs", type=float, default=819.0,
+                   help="chip peak HBM GB/s (v5e 819)")
+    p.add_argument("--measured-ms", type=float, default=None,
+                   help="measured device time to compare against the "
+                        "roofline bound")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..experiments.registry import build_loss_fn, build_model, \
+        get_experiment
+
+    cfg = get_experiment(args.experiment)
+    if args.crop:
+        cfg = dataclasses.replace(cfg, image_height=args.crop[0],
+                                  image_width=args.crop[1])
+    if args.batch_size:
+        cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    dtype = jnp.bfloat16 if args.bf16 else None
+
+    rng = np.random.default_rng(0)
+    if args.train:
+        model = build_model(cfg, axis_name=None, dtype=dtype)
+        loss_fn = build_loss_fn(cfg, num_shards=1)
+        b = args.batch_size or 2
+        batch = {
+            "image": jnp.asarray(rng.normal(size=(
+                b, cfg.image_height, cfg.image_width, 3)).astype(np.float32)),
+            "label": jnp.asarray(rng.integers(0, cfg.num_classes, size=(
+                b, cfg.image_height // cfg.gt_down_sampling,
+                cfg.image_width // cfg.gt_down_sampling)).astype(np.int32)),
+        }
+        if cfg.loss == "dfn":
+            batch["aux_label"] = jnp.asarray(rng.integers(0, 2, size=(
+                b, cfg.image_height, cfg.image_width)).astype(np.int32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            batch["image"][:1], train=True)
+
+        def step(params, bstats, batch):
+            def loss_wrapped(params):
+                outs, mut = model.apply(
+                    {"params": params, "batch_stats": bstats},
+                    batch["image"], train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+                return loss_fn(outs, batch), mut["batch_stats"]
+
+            (loss, st), grads = jax.value_and_grad(
+                loss_wrapped, has_aux=True)(params)
+            new_params = jax.tree.map(lambda p, g: p - 0.01 * g,
+                                      params, grads)
+            return loss, new_params, st
+
+        lowered = jax.jit(step).lower(
+            variables["params"], variables["batch_stats"], batch)
+        what = (f"train step bs={b} "
+                f"@{cfg.image_height}x{cfg.image_width}")
+    else:
+        model = build_model(cfg, axis_name=None, dtype=dtype)
+        if args.input_size:
+            shape = tuple(int(s) for s in args.input_size.split("x"))
+        else:
+            shape = (1, cfg.image_height, cfg.image_width, 3)
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, x, train=True)
+
+        def fwd(variables, x):
+            return model.apply(variables, x, train=False)
+
+        lowered = jax.jit(fwd).lower(variables, x)
+        what = f"forward @{'x'.join(map(str, shape))}"
+
+    flops, bytes_acc = _cost(lowered.compile())
+    sol_c = flops / (args.peak_tflops * 1e12) * 1e3
+    sol_b = bytes_acc / (args.peak_gbs * 1e9) * 1e3
+    sol = max(sol_c, sol_b)
+    bound = "compute" if sol_c >= sol_b else "bandwidth"
+    ai = flops / max(bytes_acc, 1.0)
+    print(f"{args.experiment} {what} "
+          f"({'bf16' if args.bf16 else 'f32'}, backend "
+          f"{jax.local_devices()[0].platform}):")
+    print(f"  FLOPs {flops:.3e}  bytes {bytes_acc:.3e}  "
+          f"arithmetic intensity {ai:.1f} FLOP/B")
+    print(f"  SOL compute {sol_c:.3f} ms @ {args.peak_tflops:.0f} TFLOP/s | "
+          f"SOL bandwidth {sol_b:.3f} ms @ {args.peak_gbs:.0f} GB/s "
+          f"-> roofline {sol:.3f} ms ({bound}-bound)")
+    res = {"flops": flops, "bytes": bytes_acc, "sol_ms": sol,
+           "bound": bound}
+    if args.measured_ms:
+        util = sol / args.measured_ms
+        print(f"  measured {args.measured_ms:.3f} ms -> "
+              f"{100 * util:.0f}% of speed-of-light")
+        res["sol_fraction"] = util
+    return res
+
+
+if __name__ == "__main__":
+    main()
