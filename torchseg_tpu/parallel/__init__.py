@@ -6,3 +6,9 @@ from .mesh import (
     gather_metrics,
     shard_batch,
 )
+from .spatial import (
+    SpatialTrainer,
+    batch_shardings,
+    make_dp_sp_mesh,
+    space_unshard_interceptor,
+)

@@ -1,0 +1,224 @@
+"""Spatial partitioning (dp x sp) — GSPMD auto-sharding over a 2-D mesh.
+
+Beyond the reference's pure data parallelism (its only axis is the
+per-process batch split, furnace/engine/engine.py + apex DDP): here the
+image HEIGHT axis is sharded too, so crops larger than one chip's HBM —
+or batch sizes below the device count — still scale.  This is the
+TPU-idiomatic formulation: instead of hand-written halo exchange (the
+CUDA way), the batch is annotated with a ``NamedSharding(("data",
+"space"))`` and XLA's SPMD partitioner inserts the conv halo collectives
+(``collective-permute`` of boundary rows), the cross-device BatchNorm
+reductions, and the loss allreduce automatically.
+
+Semantics: the model is built with ``axis_name=None`` — plain flax
+BatchNorm whose batch-stat reductions run over the full (sharded) global
+batch, which under GSPMD *is* SyncBN over every device; the loss is a
+global mean over the sharded pixels.  The step is numerically the
+single-device global-batch step (pinned by tests/test_spatial.py), just
+laid out over the mesh.
+
+Use the 1-D ``engine.trainer.Trainer`` (shard_map DP) when the batch
+axis alone covers the mesh — explicit per-shard code compiles leaner.
+Reach for this when sp > 1 is needed.
+
+Known XLA SPMD miscompile + mitigation (jax 0.9.0): the weight gradient
+of a residual "diamond" (stride-2 conv whose output feeds a second conv,
+summed with a strided projection of the same input — every ResNet
+downsample block) is silently WRONG when the strided conv's output has
+exactly ONE row per ``space`` shard on a 2-D dp x sp mesh (dp-only and
+sp-only meshes are exact; one-axis reshardings mask it).  Minimal repro
+in tests/test_spatial.py::test_xla_diamond_wgrad_mitigated.  The
+mitigation — which is also the right TPU design — is to stop spatially
+sharding activations once they are small: ``SpatialTrainer`` intercepts
+every module output during training and gathers the ``space`` axis
+(sharding constraint ``P("data")``) for feature maps with fewer than
+``min_rows_per_shard`` rows per space shard.  Deep layers are tiny, so
+the duplicated compute is negligible, and halo exchanges on ~1-row
+shards were pure overhead anyway.  Measured (tests/test_spatial.py):
+the mitigated dp2 x sp2 gradients of BiSeNet-R18 match a single-device
+oracle at the pure-data-parallel reassociation noise floor (worst leaf
+8.8e-3 relative at toy scale, identical to a dp4-only run); unmitigated
+they were ~30x wrong.  When constraining sharded activations in a
+verification oracle, beware: a with_sharding_constraint inside an
+otherwise unsharded jit silently promotes the whole computation onto
+the mesh.
+"""
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.optim import sgd_update
+from ..engine.trainer import TrainState
+
+
+def make_dp_sp_mesh(dp: int, sp: int, devices=None) -> Mesh:
+    """2-D mesh: ``data`` (batch) x ``space`` (image height).
+
+    Lay ``space`` innermost so halo exchanges ride adjacent-chip ICI
+    links (the scaling-book recipe: minor mesh axes map to the
+    torus-neighbor dimension)."""
+    devices = devices if devices is not None else jax.devices()
+    if dp * sp > len(devices):
+        raise ValueError(
+            f"mesh {dp}x{sp} needs {dp * sp} devices, have {len(devices)}"
+        )
+    grid = np.asarray(devices[: dp * sp]).reshape(dp, sp)
+    return Mesh(grid, ("data", "space"))
+
+
+def batch_shardings(mesh: Mesh, batch) -> Any:
+    """NamedShardings for a batch dict: (B, H, ...) leaves shard batch on
+    ``data`` and height on ``space``; 1/2-D leaves shard batch only."""
+    def spec(x):
+        if x.ndim >= 3:
+            return NamedSharding(mesh, P("data", "space"))
+        return NamedSharding(mesh, P("data"))
+
+    return jax.tree.map(spec, batch)
+
+
+def space_unshard_interceptor(mesh: Mesh, min_rows_per_shard: int = 4):
+    """Flax method interceptor: constrain small spatial module outputs to
+    ``P("data")`` (space axis gathered).
+
+    Two jobs in one: (a) sidesteps the XLA SPMD diamond-wgrad miscompile
+    (module docstring) by never leaving ~1-row-per-shard feature maps
+    space-sharded, and (b) removes halo exchanges on tensors too small to
+    amortize them.  Feature maps with
+    ``height < min_rows_per_shard * sp`` are constrained; everything else
+    is left to the partitioner.  Production sizes (min feature height 32+
+    at 1024-pixel crops) are untouched.
+    """
+    sp = mesh.shape["space"]
+    thresh = min_rows_per_shard * sp
+    target = NamedSharding(mesh, P("data"))
+
+    def constrain(v):
+        if (
+            hasattr(v, "ndim")
+            and v.ndim >= 3
+            and isinstance(getattr(v, "shape", None), tuple)
+            and isinstance(v.shape[1], int)
+            and 0 < v.shape[1] < thresh
+        ):
+            return jax.lax.with_sharding_constraint(v, target)
+        return v
+
+    def interceptor(next_fun, args, kwargs, context):
+        return jax.tree.map(constrain, next_fun(*args, **kwargs))
+
+    return interceptor
+
+
+class SpatialTrainer:
+    """GSPMD train step over a dp x sp mesh.
+
+    Same optimizer math as ``engine.trainer.Trainer`` (SGD + momentum,
+    per-group lr multipliers, weight decay); no explicit collectives —
+    sharding annotations on the inputs are the whole parallel program.
+
+    The model must be built with ``axis_name=None`` (global-batch BN).
+    """
+
+    def __init__(
+        self,
+        model,
+        loss_fn: Callable,
+        lr_schedule: Callable,
+        sgd_momentum: float = 0.9,
+        lr_mult=None,
+        wd=None,
+        mesh: Optional[Mesh] = None,
+        donate: bool = True,
+        min_rows_per_shard: int = 4,
+    ):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.lr_schedule = lr_schedule
+        self.sgd_momentum = sgd_momentum
+        self.lr_mult = lr_mult
+        self.wd = wd
+        self.mesh = mesh if mesh is not None else make_dp_sp_mesh(
+            max(len(jax.devices()) // 2, 1), min(2, len(jax.devices()))
+        )
+        self.donate = donate
+        self.min_rows_per_shard = min_rows_per_shard
+        self._step_fn = None
+
+    def init_state(self, rng, sample_batch) -> TrainState:
+        """Replicated state from a single-sample init (params are
+        batch-shape-independent; see Trainer.init_state)."""
+        params_rng, dropout_rng = jax.random.split(rng)
+        variables = self.model.init(
+            {"params": params_rng, "dropout": dropout_rng},
+            sample_batch["image"][:1],
+            train=True,
+        )
+        state = TrainState.create(variables)
+        return jax.device_put(state, NamedSharding(self.mesh, P()))
+
+    def configure_groups(self, lr_mult=None, wd=None):
+        self.lr_mult = lr_mult
+        self.wd = wd
+        self._step_fn = None
+
+    def _build(self, batch):
+        repl = NamedSharding(self.mesh, P())
+        interceptor = space_unshard_interceptor(
+            self.mesh, self.min_rows_per_shard
+        )
+
+        def step(state: TrainState, batch, dropout_rng):
+            def loss_wrapped(params, stats):
+                with nn.intercept_methods(interceptor):
+                    outs, mutated = self.model.apply(
+                        {"params": params, "batch_stats": stats},
+                        batch["image"],
+                        train=True,
+                        mutable=["batch_stats"],
+                        rngs={"dropout": dropout_rng},
+                    )
+                return self.loss_fn(outs, batch), mutated["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_wrapped, has_aux=True
+            )(state.params, state.batch_stats)
+            lr = self.lr_schedule(state.step)
+            new_params, new_momentum = sgd_update(
+                state.params, grads, state.momentum, lr,
+                momentum=self.sgd_momentum, lr_mult=self.lr_mult,
+                wd=self.wd,
+            )
+            return (
+                TrainState(new_params, new_stats, new_momentum,
+                           state.step + 1),
+                loss,
+                lr,
+            )
+
+        in_sh = (repl, batch_shardings(self.mesh, batch), repl)
+        donate = (0,) if self.donate else ()
+        return jax.jit(step, in_shardings=in_sh,
+                       out_shardings=(repl, repl, repl),
+                       donate_argnums=donate)
+
+    def train_step(self, state: TrainState, batch, dropout_rng):
+        """batch: global batch dict; B divisible by the data axis, H by
+        the space axis. Returns (new_state, loss, lr)."""
+        dp = self.mesh.shape["data"]
+        sp = self.mesh.shape["space"]
+        b = next(v.shape[0] for v in batch.values() if hasattr(v, "shape"))
+        h = batch["image"].shape[1]
+        if b % dp or h % sp:
+            raise ValueError(
+                f"global batch {b} must divide data={dp} and image height "
+                f"{h} must divide space={sp}"
+            )
+        if self._step_fn is None:
+            self._step_fn = self._build(batch)
+        return self._step_fn(state, batch, dropout_rng)
