@@ -270,6 +270,22 @@ def test_spatial_step_small_features_at_noise_floor():
             jax.tree_util.keystr(path), float(np.abs(a - b).max()), scale)
 
 
+def test_train_cli_sp(tmp_path):
+    """torchseg-train --sp 2: full CLI run on the dp4 x sp2 mesh —
+    synthetic data, one epoch, checkpoint written."""
+    from torchseg_tpu.train import main
+
+    state = main([
+        "-e", "cityscapes.bisenet.R18", "--synthetic", "--epochs", "1",
+        "--iters", "2", "--batch-size", "4", "--crop", "32", "32",
+        "--num-workers", "1", "--log-dir", str(tmp_path), "--sp", "2",
+    ])
+    assert int(state.step) == 2
+    snap = tmp_path / "cityscapes.bisenet.R18" / "snapshot"
+    assert (snap / "epoch-0.ckpt").exists()
+    assert (snap / "epoch-last.ckpt").exists()
+
+
 def test_spatial_step_validates_divisibility():
     cfg = get_experiment("cityscapes.bisenet.R18")
     model = build_model(cfg, axis_name=None)

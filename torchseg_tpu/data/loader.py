@@ -105,7 +105,8 @@ class TrainLoader:
             stop.set()
 
 
-def prefetch_to_device(iterator, mesh, axis: str = "data", size: int = 2):
+def prefetch_to_device(iterator, mesh, axis: str = "data", size: int = 2,
+                       place=None):
     """Wrap a host-batch iterator so the NEXT batch's H2D transfer overlaps
     the current step's compute (the device-side half of the input pipeline;
     the reference relies on torch DataLoader pinned-memory prefetch).
@@ -113,7 +114,8 @@ def prefetch_to_device(iterator, mesh, axis: str = "data", size: int = 2):
     Batches (dicts of numpy arrays) are placed sharded over the mesh's data
     axis — exactly what `parallel.shard_batch` does per step, but ahead of
     time.  jax transfers are async, so holding `size` device batches is
-    enough to hide the copy.
+    enough to hide the copy.  ``place`` overrides the placement (e.g.
+    ``parallel.spatial.place_batch`` for a 2-D dp x sp mesh).
     """
     import collections
 
@@ -124,11 +126,10 @@ def prefetch_to_device(iterator, mesh, axis: str = "data", size: int = 2):
     buf = collections.deque()
 
     def _place(batch):
-        return shard_batch(
-            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
-            mesh,
-            axis,
-        )
+        batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        if place is not None:
+            return place(batch)
+        return shard_batch(batch, mesh, axis)
 
     it = iter(iterator)
     try:

@@ -10,5 +10,6 @@ from .spatial import (
     SpatialTrainer,
     batch_shardings,
     make_dp_sp_mesh,
+    place_batch,
     space_unshard_interceptor,
 )

@@ -82,6 +82,13 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
     return jax.tree.map(spec, batch)
 
 
+def place_batch(batch, mesh: Mesh):
+    """Device-put a host batch dict with ``batch_shardings`` (batch on
+    ``data``, image height on ``space``) — the dp x sp counterpart of
+    ``parallel.shard_batch``."""
+    return jax.tree.map(jax.device_put, batch, batch_shardings(mesh, batch))
+
+
 def space_unshard_interceptor(mesh: Mesh, min_rows_per_shard: int = 4):
     """Flax method interceptor: constrain small spatial module outputs to
     ``P("data")`` (space axis gathered).

@@ -69,6 +69,11 @@ def build_argparser():
     p.add_argument("--orbax", action="store_true",
                    help="async preemption-safe Orbax checkpointing "
                         "(engine/checkpoint_orbax.py) instead of msgpack")
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial-parallel mesh axis: shard image height "
+                        "over SP devices (mesh = data x space, "
+                        "parallel/spatial.py) — for crops/batches too "
+                        "large for pure data parallelism")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator address for "
                         "jax.distributed.initialize")
@@ -108,19 +113,52 @@ def main(argv=None):
     niters = args.iters or cfg.niters_per_epoch
     batch_size = args.batch_size or cfg.batch_size
 
-    mesh = make_data_mesh()
-    n_dev = mesh.devices.size
-    if batch_size % n_dev:
-        raise ValueError(f"batch {batch_size} not divisible by {n_dev} devices")
-    logger.info("experiment %s on %d device(s): %s", cfg.name, n_dev,
-                jax.devices()[0].platform)
+    sp = args.sp
+    if sp > 1:
+        from .parallel import make_dp_sp_mesh
+
+        n_total = len(jax.devices())
+        if n_total % sp:
+            raise ValueError(f"--sp {sp} does not divide {n_total} devices")
+        if args.accum_steps != 1:
+            raise SystemExit("--sp does not support --accum-steps; the "
+                             "space axis already multiplies the per-step "
+                             "memory headroom")
+        if args.device_augment:
+            raise SystemExit("--sp does not support --device-augment "
+                             "(host preprocessing feeds the dp x sp mesh)")
+        if cfg.image_height % sp:
+            raise ValueError(
+                f"crop height {cfg.image_height} not divisible by sp={sp}")
+        mesh = make_dp_sp_mesh(n_total // sp, sp)
+        dp = n_total // sp
+        if batch_size % dp:
+            raise ValueError(
+                f"batch {batch_size} not divisible by data axis {dp}")
+        n_dev = n_total
+    else:
+        mesh = make_data_mesh()
+        n_dev = mesh.devices.size
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch {batch_size} not divisible by {n_dev} devices")
+    logger.info("experiment %s on %d device(s): %s%s", cfg.name, n_dev,
+                jax.devices()[0].platform,
+                f" (mesh data={n_dev // sp} x space={sp})" if sp > 1 else "")
 
     dtype = jnp.bfloat16 if args.bf16 else None
-    model = build_model(cfg, axis_name="data", dtype=dtype)
+    # sp mode: GSPMD global-batch BN (axis_name=None) — the partitioner's
+    # cross-device stat reduction IS SyncBN; shard_map mode does the pmean
+    # explicitly over "data"
+    model = build_model(cfg, axis_name=None if sp > 1 else "data",
+                        dtype=dtype)
     # OHEM min_kept follows the per-forward batch (the reference's per-GPU
     # rule, train.py:48-52): with grad accumulation each forward sees
-    # batch / (devices * accum_steps) images
-    loss_fn = build_loss_fn(cfg, num_shards=n_dev * args.accum_steps)
+    # batch / (devices * accum_steps) images.  The GSPMD sp trainer's loss
+    # sees the GLOBAL batch, so num_shards=1 keeps the reference's kept
+    # FRACTION (min_kept scales with the forward's batch either way).
+    loss_fn = build_loss_fn(
+        cfg, num_shards=1 if sp > 1 else n_dev * args.accum_steps)
     device_aug = None
     if args.device_augment:
         from .data.device_augment import make_device_augment
@@ -172,14 +210,25 @@ def main(argv=None):
         base_lr = cfg.lr * n_dev * 1.0  # FCN rule
     lr_schedule = PolyLR(base_lr, cfg.lr_power, nepochs * niters)
 
-    trainer = Trainer(
-        model,
-        loss_fn,
-        lr_schedule,
-        sgd_momentum=cfg.momentum,
-        mesh=mesh,
-        accum_steps=args.accum_steps,
-    )
+    if sp > 1:
+        from .parallel import SpatialTrainer
+
+        trainer = SpatialTrainer(
+            model,
+            loss_fn,
+            lr_schedule,
+            sgd_momentum=cfg.momentum,
+            mesh=mesh,
+        )
+    else:
+        trainer = Trainer(
+            model,
+            loss_fn,
+            lr_schedule,
+            sgd_momentum=cfg.momentum,
+            mesh=mesh,
+            accum_steps=args.accum_steps,
+        )
 
     # one host batch to shape-init
     loader.set_epoch(0)
@@ -233,7 +282,14 @@ def main(argv=None):
         # batches arrive already mesh-sharded, with the NEXT batch's H2D
         # overlapping this step's compute (the DistributedSampler split +
         # pinned-memory prefetch, TPU-style)
-        for it, batch_jnp in enumerate(prefetch_to_device(loader, mesh)):
+        if sp > 1:
+            from .parallel import place_batch
+
+            batches = prefetch_to_device(
+                loader, mesh, place=lambda b: place_batch(b, mesh))
+        else:
+            batches = prefetch_to_device(loader, mesh)
+        for it, batch_jnp in enumerate(batches):
             rng, step_rng = jax.random.split(rng)
             if device_aug is not None:
                 rng, aug_rng = jax.random.split(rng)
