@@ -1,0 +1,178 @@
+"""AOT serving-artifact export (deploy/export.py).
+
+The reference has no export path (serving = re-import network.py +
+torch.load); these pin the jax.export artifact contract instead:
+self-contained (weights as constants), uint8-in/labels-out with the
+normalize embedded, platform-stamped, and bit-exact across
+serialize → deserialize.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchseg_tpu.deploy.export import (
+    GRAPH_FILE,
+    META_FILE,
+    build_serving_fn,
+    export_serving,
+    load_artifact,
+    main as export_main,
+    save_artifact,
+)
+from torchseg_tpu.experiments.registry import build_model, get_experiment
+
+SHAPE = (1, 64, 128, 3)
+
+
+def _model_and_vars(dtype=jnp.bfloat16):
+    cfg = get_experiment("cityscapes.bisenet.R18.speed")
+    model = build_model(cfg, axis_name=None, dtype=dtype)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
+    if dtype == jnp.bfloat16:
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a,
+            variables,
+        )
+    return cfg, model, variables
+
+
+def test_artifact_roundtrip_bitexact(tmp_path):
+    """serialize → deserialize → call == the live jitted forward, and the
+    artifact carries no reference to the model/variables objects."""
+    cfg, model, variables = _model_and_vars()
+    fn = build_serving_fn(
+        model, variables, image_mean=cfg.image_mean,
+        image_std=cfg.image_std, output="labels",
+    )
+    exported = export_serving(
+        fn, (jax.ShapeDtypeStruct(SHAPE, jnp.uint8),), platforms=("cpu",)
+    )
+    path = save_artifact(str(tmp_path / "art"), exported,
+                         {"experiment": cfg.name})
+    infer, meta = load_artifact(path)
+
+    img = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, SHAPE).astype(np.uint8)
+    )
+    got = np.asarray(infer(img))
+    want = np.asarray(jax.jit(fn)(img))
+    # .speed heads emit /8-resolution logits → labels at (1, H/8, W/8)
+    assert got.shape == (1, SHAPE[1] // 8, SHAPE[2] // 8)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, want)
+    assert meta["experiment"] == cfg.name
+    assert meta["platforms"] == ["cpu"]
+
+
+def test_artifact_scores_output_matches_apply():
+    """output='scores' == model.apply on the normalized image (the
+    preprocessing inside the graph is the datasets' normalize)."""
+    cfg, model, variables = _model_and_vars(dtype=jnp.float32)
+    fn = build_serving_fn(
+        model, variables, image_mean=cfg.image_mean,
+        image_std=cfg.image_std, output="scores", dtype=jnp.float32,
+    )
+    img_np = np.random.default_rng(1).integers(0, 255, SHAPE)
+    img = jnp.asarray(img_np.astype(np.uint8))
+    got = np.asarray(jax.jit(fn)(img))
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    x = jnp.asarray((img_np.astype(np.float32) / 255.0 - mean) / std)
+    want = np.asarray(model.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_cross_platform_lowering_includes_tpu(tmp_path):
+    """TPU lowering from a CPU host works and is stamped in the platform
+    list (the serving site gets a platform check at call time)."""
+    cfg, model, variables = _model_and_vars()
+    fn = build_serving_fn(
+        model, variables, image_mean=cfg.image_mean,
+        image_std=cfg.image_std,
+    )
+    exported = export_serving(
+        fn, (jax.ShapeDtypeStruct(SHAPE, jnp.uint8),),
+        platforms=("tpu", "cpu"),
+    )
+    assert set(exported.platforms) == {"tpu", "cpu"}
+    path = save_artifact(str(tmp_path / "art"), exported)
+    infer, meta = load_artifact(path)
+    # still runs on the cpu backend (platform dispatch inside the graph)
+    img = jnp.zeros(SHAPE, jnp.uint8)
+    assert np.asarray(infer(img)).shape == (1, SHAPE[1] // 8, SHAPE[2] // 8)
+    assert meta["platforms"] == ["tpu", "cpu"]
+
+
+def test_export_cli_and_meta(tmp_path):
+    out = str(tmp_path / "cli.art")
+    got = export_main([
+        "-e", "cityscapes.bisenet.R18.speed", "-o", out,
+        "--input-size", "1x64x128x3", "--platforms", "cpu", "--check",
+    ])
+    assert got == out
+    assert os.path.exists(os.path.join(out, GRAPH_FILE))
+    with open(os.path.join(out, META_FILE)) as f:
+        meta = json.load(f)
+    assert meta["format"] == "torchseg-tpu-serving/1"
+    assert meta["input_dtype"] == "uint8"
+    assert meta["output"] == "labels"
+    assert meta["input_shape"] == [1, 64, 128, 3]
+    assert meta["n_params"] > 1e6
+    assert meta["weights_source"] == "random-init"
+
+
+def test_export_embeds_checkpoint_weights(tmp_path):
+    """--checkpoint: the embedded weights are the checkpoint's, not the
+    random init (two artifacts from different params disagree)."""
+    from torchseg_tpu.engine.checkpoint import save_checkpoint
+    from torchseg_tpu.engine.trainer import TrainState
+
+    cfg, model, variables = _model_and_vars(dtype=jnp.float32)
+    # a differently-seeded set of params, saved as a checkpoint
+    rngs = {"params": jax.random.PRNGKey(7),
+            "dropout": jax.random.PRNGKey(8)}
+    other = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
+    snap = tmp_path / "snapshot"
+    snap.mkdir()
+    ckpt = save_checkpoint(str(snap), TrainState.create(other), epoch=0)
+
+    out_rand = str(tmp_path / "rand.art")
+    out_ckpt = str(tmp_path / "ckpt.art")
+    common = ["-e", "cityscapes.bisenet.R18.speed", "--f32",
+              "--input-size", "1x64x128x3", "--platforms", "cpu",
+              "--scores"]
+    export_main(common + ["-o", out_rand])
+    export_main(common + ["-o", out_ckpt, "--checkpoint", ckpt])
+
+    img = jnp.asarray(
+        np.random.default_rng(2).integers(0, 255, SHAPE).astype(np.uint8)
+    )
+    a, _ = load_artifact(out_rand)
+    b, meta = load_artifact(out_ckpt)
+    assert meta["weights_source"] == ckpt
+    sa, sb = np.asarray(a(img)), np.asarray(b(img))
+    assert not np.allclose(sa, sb), "checkpoint weights were not embedded"
+    # and the ckpt artifact matches a live forward with those weights
+    fn = build_serving_fn(
+        model, {"params": other["params"],
+                "batch_stats": other["batch_stats"]},
+        image_mean=cfg.image_mean, image_std=cfg.image_std,
+        output="scores", dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(sb, np.asarray(jax.jit(fn)(img)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_build_serving_fn_rejects_bad_output():
+    cfg, model, variables = _model_and_vars()
+    with pytest.raises(ValueError, match="output"):
+        build_serving_fn(model, variables, image_mean=cfg.image_mean,
+                         image_std=cfg.image_std, output="probs")

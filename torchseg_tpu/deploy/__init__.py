@@ -1,3 +1,9 @@
+from .export import (
+    build_serving_fn,
+    export_serving,
+    load_artifact,
+    save_artifact,
+)
 from .fused_stem import (
     fold_bn_affine,
     make_bisenet_fused_infer,

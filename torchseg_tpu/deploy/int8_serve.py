@@ -1091,3 +1091,92 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
         return scores
 
     return infer, run_pkg
+
+
+def build_int8_serving_for_experiment(cfg, model, variables, *,
+                                      decoder: str = "bf16",
+                                      calib_images=None,
+                                      calib_shape=(1, 256, 512, 3),
+                                      seed: int = 0):
+    """Assemble the int8-through serving graph for ANY registered
+    experiment — the model-family dispatch shared by
+    ``torchseg-speed --int8-through`` and ``torchseg-export
+    --int8-through``.
+
+    calib_images: list of uint8 NHWC arrays for activation calibration
+    (None → 2 random images of ``calib_shape``; production serving
+    calibrates on val crops — see docs/DESIGN.md "int8-THROUGH").
+    decoder="int8": classic-stem BiSeNet only — ARM/refine/FFM/head
+    int8 too.
+
+    Returns ``(infer, run_pkg, prepare, prep)``:
+        infer(run_pkg, xs)  jitted serving fn (argmax labels)
+        prepare(img_u8)     host-side numpy input prep → xs
+        prep                the same prep, declaratively:
+                            {"format": "s2d"|"pad", "pads"|"pad": …,
+                             "image_mean": […]} — enough to build an
+                            equivalent jax graph (deploy/export.py).
+    Raises ValueError for unsupported families (e.g. Xception depthwise
+    decoders with decoder="int8").
+    """
+    import numpy as np
+
+    classic_stem = not (
+        cfg.model == "bisenet_r101"
+        or cfg.model.startswith(("pspnet", "psanet", "dfn", "fcn"))
+    )
+    if decoder == "int8" and not classic_stem:
+        raise ValueError(
+            "decoder='int8' only applies to the classic-stem BiSeNet "
+            f"int8-through path (got {cfg.model})"
+        )
+    if calib_images is None:
+        rng = np.random.default_rng(seed)
+        calib_images = [
+            rng.integers(0, 255, calib_shape).astype(np.uint8)
+            for _ in range(2)
+        ]
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    calib = [jnp.asarray((u.astype(np.float32) / 255.0 - mean) / std)
+             for u in calib_images]
+    stats = calibrate_channelwise(model, variables, calib)
+
+    if cfg.model == "bisenet_r101":
+        pkg = build_int8_bisenet_r101_package(
+            variables, stats, eps=cfg.bn_eps,
+            image_mean=cfg.image_mean, image_std=cfg.image_std,
+        )
+        infer, run_pkg = make_int8_bisenet_r101_infer(model, variables, pkg)
+        prep = {"format": "pad", "pad": 3,
+                "image_mean": list(cfg.image_mean)}
+        prepare = lambda u8: prepare_u8_input(  # noqa: E731
+            u8, pad=3, image_mean=cfg.image_mean)
+    elif cfg.model.startswith(("pspnet", "psanet", "dfn", "fcn")):
+        depth = int(cfg.model.rsplit("r", 1)[-1])
+        is_dfn = cfg.model.startswith(("dfn", "fcn"))
+        extra = (dict(strides=(1, 2, 2, 2), dilations=(1, 1, 1, 1))
+                 if is_dfn else {})  # DFN/FCN: standard strides
+        pkg = build_int8_backbone_package(
+            variables, stats, depth=depth, eps=cfg.bn_eps,
+            image_mean=cfg.image_mean, image_std=cfg.image_std, **extra,
+        )
+        infer, run_pkg = make_int8_pspnet_infer(
+            model, variables, pkg, dequant_all=is_dfn,
+        )
+        prep = {"format": "pad", "pad": 1,
+                "image_mean": list(cfg.image_mean)}
+        prepare = lambda u8: prepare_u8_input(  # noqa: E731
+            u8, image_mean=cfg.image_mean)
+    else:
+        pkg = build_int8_package(
+            variables, stats, eps=cfg.bn_eps,
+            image_mean=cfg.image_mean, image_std=cfg.image_std,
+            decoder=decoder,
+        )
+        infer, run_pkg = make_int8_through_infer(model, variables, pkg)
+        prep = {"format": "s2d", "pads": [[2, 1], [2, 1]],
+                "image_mean": list(cfg.image_mean)}
+        prepare = lambda u8: prepare_s2d_input_u8(  # noqa: E731
+            u8, image_mean=cfg.image_mean)
+    return infer, run_pkg, prepare, prep
