@@ -171,6 +171,69 @@ def test_export_embeds_checkpoint_weights(tmp_path):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_prepare_graph_matches_numpy_prep():
+    """The exported jax prepare twin == the host numpy prep, bit for bit,
+    for both input formats (s2d classic-stem, pad deep-stem)."""
+    from torchseg_tpu.deploy.export import make_prepare_graph
+    from torchseg_tpu.deploy.int8_serve import (
+        prepare_s2d_input_u8,
+        prepare_u8_input,
+    )
+
+    mean = (0.485, 0.456, 0.406)
+    img = np.random.default_rng(3).integers(
+        0, 255, (1, 64, 128, 3)).astype(np.uint8)
+
+    want = np.asarray(prepare_s2d_input_u8(img, image_mean=mean))
+    got = np.asarray(jax.jit(make_prepare_graph(
+        {"format": "s2d", "pads": [[2, 1], [2, 1]], "image_mean": mean}
+    ))(img))
+    np.testing.assert_array_equal(got, want)
+
+    want = np.asarray(prepare_u8_input(img, pad=3, image_mean=mean))
+    got = np.asarray(jax.jit(make_prepare_graph(
+        {"format": "pad", "pad": 3, "image_mean": mean}
+    ))(img))
+    np.testing.assert_array_equal(got, want)
+
+    with pytest.raises(ValueError, match="format"):
+        make_prepare_graph({"format": "nope", "image_mean": mean})
+
+
+def test_int8_through_artifact_uint8_contract(tmp_path):
+    """--int8-through artifact: uint8 image in (prepare graph runs as its
+    own dispatch), labels out, ≥99% agreement with the live graph (the
+    CLI --check enforces it); meta carries the mode + prepare flag."""
+    out = str(tmp_path / "i8.art")
+    export_main([
+        "-e", "cityscapes.bisenet.R18.speed", "-o", out,
+        "--input-size", "1x64x128x3", "--int8-through",
+        "--platforms", "cpu", "--calib-size", "1x64x128x3", "--check",
+    ])
+    assert os.path.exists(os.path.join(out, "prepare.bin"))
+    with open(os.path.join(out, META_FILE)) as f:
+        meta = json.load(f)
+    assert meta["serve_mode"] == "int8-through"
+    assert meta["has_prepare"] is True
+    assert meta["input_dtype"] == "uint8"
+
+    infer, _ = load_artifact(out)
+    img = jnp.asarray(np.random.default_rng(4).integers(
+        0, 255, (1, 64, 128, 3)).astype(np.uint8))
+    labels = np.asarray(infer(img))
+    assert labels.shape == (1, 8, 16) and labels.dtype == np.int32
+    assert labels.min() >= 0 and labels.max() < 19
+
+
+def test_int8_through_export_rejects_scores(tmp_path):
+    with pytest.raises(SystemExit, match="labels"):
+        export_main([
+            "-e", "cityscapes.bisenet.R18.speed",
+            "-o", str(tmp_path / "x"), "--int8-through", "--scores",
+            "--platforms", "cpu",
+        ])
+
+
 def test_build_serving_fn_rejects_bad_output():
     cfg, model, variables = _model_and_vars()
     with pytest.raises(ValueError, match="output"):

@@ -2,6 +2,7 @@ from .export import (
     build_serving_fn,
     export_serving,
     load_artifact,
+    make_prepare_graph,
     save_artifact,
 )
 from .fused_stem import (
@@ -16,6 +17,7 @@ from .int8_serve import (
     make_int8_pspnet_infer,
     prepare_u8_input,
     build_int8_package,
+    build_int8_serving_for_experiment,
     calibrate_channelwise,
     load_int8_package,
     make_int8_through_infer,

@@ -121,80 +121,20 @@ def main(argv=None):
             print(f"(per-op runtime table unavailable: {e})")
 
     if args.int8_through:
-        from ..deploy.int8_serve import (
-            build_int8_package,
-            calibrate_channelwise,
-            make_int8_through_infer,
-            prepare_s2d_input_u8,
-        )
+        from ..deploy.int8_serve import build_int8_serving_for_experiment
 
-        classic_stem = not (
-            cfg.model == "bisenet_r101"
-            or cfg.model.startswith(("pspnet", "psanet", "dfn", "fcn"))
-        )
-        if args.int8_decoder and not classic_stem:
-            raise SystemExit(
-                "--int8-decoder only applies to the classic-stem BiSeNet "
-                f"int8-through path (got {cfg.model})"
-            )
         rng = np.random.default_rng(0)
-        mean = np.asarray(cfg.image_mean, np.float32)
-        std = np.asarray(cfg.image_std, np.float32)
         imgs = [rng.integers(0, 255, shape).astype(np.uint8)
                 for _ in range(2)]
-        calib = [jnp.asarray((u.astype(np.float32) / 255.0 - mean) / std)
-                 for u in imgs]
-        stats = calibrate_channelwise(model, variables, calib)
         try:
-            if cfg.model == "bisenet_r101":
-                from ..deploy.int8_serve import (
-                    build_int8_bisenet_r101_package,
-                    make_int8_bisenet_r101_infer,
-                    prepare_u8_input,
-                )
-
-                pkg = build_int8_bisenet_r101_package(
-                    variables, stats, eps=cfg.bn_eps,
-                    image_mean=cfg.image_mean, image_std=cfg.image_std,
-                )
-                infer, run_pkg = make_int8_bisenet_r101_infer(
-                    model, variables, pkg,
-                )
-                xs = prepare_u8_input(imgs[0], pad=3,
-                                      image_mean=cfg.image_mean)
-            elif cfg.model.startswith(("pspnet", "psanet", "dfn", "fcn")):
-                from ..deploy.int8_serve import (
-                    build_int8_backbone_package,
-                    make_int8_pspnet_infer,
-                    prepare_u8_input,
-                )
-
-                depth = int(cfg.model.rsplit("r", 1)[-1])
-                is_dfn = cfg.model.startswith(("dfn", "fcn"))
-                extra = (dict(strides=(1, 2, 2, 2),
-                              dilations=(1, 1, 1, 1))
-                         if is_dfn else {})  # DFN: standard strides
-                pkg = build_int8_backbone_package(
-                    variables, stats, depth=depth, eps=cfg.bn_eps,
-                    image_mean=cfg.image_mean, image_std=cfg.image_std,
-                    **extra,
-                )
-                infer, run_pkg = make_int8_pspnet_infer(
-                    model, variables, pkg, dequant_all=is_dfn,
-                )
-                xs = prepare_u8_input(imgs[0], image_mean=cfg.image_mean)
-            else:
-                pkg = build_int8_package(
-                    variables, stats, eps=cfg.bn_eps,
-                    image_mean=cfg.image_mean, image_std=cfg.image_std,
-                    decoder="int8" if args.int8_decoder else "bf16",
-                )
-                infer, run_pkg = make_int8_through_infer(model, variables,
-                                                         pkg)
-                xs = prepare_s2d_input_u8(imgs[0],
-                                          image_mean=cfg.image_mean)
+            infer, run_pkg, prepare, _ = build_int8_serving_for_experiment(
+                cfg, model, variables,
+                decoder="int8" if args.int8_decoder else "bf16",
+                calib_images=imgs,
+            )
         except ValueError as e:
             raise SystemExit(f"--int8-through: {e}")
+        xs = prepare(imgs[0])
 
         @jax.jit
         def chained(pkg, xs, seed):
