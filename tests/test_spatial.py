@@ -296,3 +296,45 @@ def test_spatial_step_validates_divisibility():
     state = tr.init_state(jax.random.PRNGKey(0), bad)
     with pytest.raises(ValueError, match="divide"):
         tr.train_step(state, bad, jax.random.PRNGKey(1))
+
+
+def test_whole_eval_spatial_matches_single_device():
+    """Whole-protocol GSPMD eval (Evaluator(spatial_shards=4), eval.py
+    --sp): the image height sharded over a ("space",) mesh — XLA inserts
+    the conv halos — must give the single-device prediction up to
+    fp-reassociation argmax ties.  Also covers a height (72) the mesh
+    does not divide (GSPMD pads uneven shards)."""
+    from torchseg_tpu.engine.evaluator import Evaluator
+
+    cfg = get_experiment("cityscapes.bisenet.R18")
+    model = build_model(cfg, axis_name=None)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
+
+    def apply_fn(v, x):
+        return model.apply(v, x, train=False)
+
+    common = (apply_fn, variables, cfg.num_classes, cfg.image_mean,
+              cfg.image_std)
+    ev1 = Evaluator(*common)
+    evs = Evaluator(*common, spatial_shards=4)
+    rng = np.random.default_rng(5)
+    for hw in ((64, 128), (72, 96)):
+        img = rng.integers(0, 255, (*hw, 3)).astype(np.uint8)
+        p1 = ev1.whole_eval(img, output_size=hw)
+        ps = evs.whole_eval(img, output_size=hw)
+        assert p1.shape == ps.shape == hw
+        assert (p1 == ps).mean() > 0.999, (p1 == ps).mean()
+
+
+def test_spatial_shards_validation():
+    from torchseg_tpu.engine.evaluator import Evaluator
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Evaluator(lambda v, x: x, {}, 3, (0, 0, 0), (1, 1, 1),
+                  devices=jax.devices()[:4], shard_crops=True,
+                  spatial_shards=2)
+    with pytest.raises(ValueError, match="devices"):
+        Evaluator(lambda v, x: x, {}, 3, (0, 0, 0), (1, 1, 1),
+                  spatial_shards=99)

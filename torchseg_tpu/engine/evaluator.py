@@ -59,6 +59,7 @@ class Evaluator:
         max_batch: int = 16,
         devices: Optional[Sequence] = None,
         shard_crops: bool = False,
+        spatial_shards: int = 1,
     ):
         self.apply_fn = apply_fn
         self.variables = variables
@@ -78,6 +79,30 @@ class Evaluator:
         # input size, not batch)
         self.shard_crops = bool(shard_crops) and self.devices is not None \
             and len(self.devices) > 1
+        # spatial_shards: whole-image GSPMD — the image HEIGHT is sharded
+        # over a ("space",) mesh so single-image full-res latency scales
+        # with the mesh (the whole-protocol counterpart of shard_crops;
+        # the reference's DataParallel can only split batch).  XLA inserts
+        # the conv halo exchanges from the input sharding alone.
+        self.spatial_shards = int(spatial_shards)
+        self._sp_mesh = None
+        if self.spatial_shards > 1:
+            if self.shard_crops:
+                raise ValueError(
+                    "spatial_shards and shard_crops are mutually "
+                    "exclusive (whole vs sliding protocol parallelism)"
+                )
+            devs = self.devices if self.devices else list(jax.devices())
+            if len(devs) < self.spatial_shards:
+                raise ValueError(
+                    f"spatial_shards={self.spatial_shards} needs that many "
+                    f"devices, have {len(devs)}"
+                )
+            from jax.sharding import Mesh
+
+            self._sp_mesh = Mesh(
+                np.asarray(devs[: self.spatial_shards]), ("space",)
+            )
         self.logger = get_logger()
         self._jit_cache = {}
 
@@ -305,7 +330,14 @@ class Evaluator:
 
     def _whole_fn(self, in_shape, margin, output_size):
         """Jitted uint8 -> normalize -> forward(+flip) -> unpad -> resize ->
-        argmax, fully on device (only the int32 prediction returns)."""
+        argmax, fully on device (only the int32 prediction returns).
+
+        With ``spatial_shards`` > 1 the same program runs GSPMD over the
+        ("space",) mesh: the image height arrives sharded, the SPMD
+        partitioner inserts the conv halo exchanges, small deep features
+        are gathered by the interceptor (parallel/spatial.py), and the
+        replicated argmax returns — whole-image latency scales with the
+        mesh."""
         key = ("whole", in_shape, margin, output_size)
         fn = self._jit_cache.get(key)
         if fn is not None:
@@ -314,7 +346,12 @@ class Evaluator:
         mean = jnp.asarray(self.image_mean, jnp.float32)
         std = jnp.asarray(self.image_std, jnp.float32)
 
-        @jax.jit
+        interceptor = None
+        if self._sp_mesh is not None:
+            from ..parallel.spatial import space_unshard_interceptor
+
+            interceptor = space_unshard_interceptor(self._sp_mesh)
+
         def run(variables, img_u8):
             x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
             if margin is not None:
@@ -325,13 +362,21 @@ class Evaluator:
                 inside = ((rows >= t) & (rows < h - b)
                           & (cols >= l) & (cols < w - r))
                 x = jnp.where(inside[:, :, None], x, 0.0)
+            def fwd(xb):
+                if interceptor is None:
+                    return self.apply_fn(variables, xb)
+                from flax import linen as nn
+
+                with nn.intercept_methods(interceptor):
+                    return self.apply_fn(variables, xb)
+
             x = x[None]
             if flip:
                 xb = jnp.concatenate([x, x[:, :, ::-1, :]])
-                s = self.apply_fn(variables, xb).astype(jnp.float32)
+                s = fwd(xb).astype(jnp.float32)
                 score = (s[0] + s[1][:, ::-1, :])
             else:
-                score = self.apply_fn(variables, x)[0].astype(jnp.float32)
+                score = fwd(x)[0].astype(jnp.float32)
             score = jnp.exp(score)
             if margin is not None:
                 t, b, l, r = margin
@@ -343,6 +388,18 @@ class Evaluator:
                 )
             return jnp.argmax(score, axis=-1).astype(jnp.int32)
 
+        if self._sp_mesh is None:
+            run = jax.jit(run)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self._sp_mesh, P())
+            run = jax.jit(
+                run,
+                in_shardings=(repl, NamedSharding(self._sp_mesh,
+                                                  P("space"))),
+                out_shardings=repl,
+            )
         self._jit_cache[key] = run
         return run
 
@@ -535,7 +592,7 @@ class Evaluator:
             background=background,
         )
         if (self.devices is not None and len(self.devices) > 1
-                and not self.shard_crops):
+                and not self.shard_crops and self._sp_mesh is None):
             if show_image == "window":
                 # cv2 GUI calls off the main thread crash/deadlock, and
                 # waitKey(0) would block every per-device worker per image

@@ -93,6 +93,12 @@ def build_argparser():
                         "sliding crop grid shards over the mesh, canvases "
                         "psum-merged) instead of splitting images — lower "
                         "single-image latency for big inputs")
+    p.add_argument("--sp", type=int, default=1,
+                   help="whole-protocol GSPMD: shard each image's HEIGHT "
+                        "over SP devices (conv halos inserted by XLA) — "
+                        "single-image full-res latency scales with the "
+                        "mesh; the whole-mode counterpart of "
+                        "--shard-crops")
     p.add_argument("-speed", "--speed", action="store_true",
                    help="run the FPS benchmark instead of accuracy eval")
     p.add_argument("--summary", action="store_true",
@@ -103,7 +109,7 @@ def build_argparser():
 
 
 def make_evaluator(cfg, variables, msf=False, devices=None,
-                   shard_crops=False):
+                   shard_crops=False, spatial_shards=1):
     model = build_model(cfg, axis_name=None)
 
     def apply_fn(v, x):
@@ -121,6 +127,7 @@ def make_evaluator(cfg, variables, msf=False, devices=None,
         stride_rate=cfg.eval_stride_rate,
         devices=devices,
         shard_crops=shard_crops,
+        spatial_shards=spatial_shards,
     )
 
 
@@ -187,6 +194,12 @@ def main(argv=None):
     except Exception:
         pass
     cfg = get_experiment(args.experiment)
+    if args.sp > 1 and cfg.eval_mode != "whole":
+        raise SystemExit(
+            f"--sp shards the whole-image forward; {cfg.name} evaluates "
+            f"with the '{cfg.eval_mode}' protocol — use --shard-crops "
+            "for sliding experiments"
+        )
     log_dir = os.path.join(args.log_dir, cfg.name)
     logger = get_logger(log_dir, None)
 
@@ -251,7 +264,8 @@ def main(argv=None):
             family,
         )
         ev = make_evaluator(cfg, variables, msf=args.msf, devices=devices,
-                            shard_crops=args.shard_crops)
+                            shard_crops=args.shard_crops,
+                            spatial_shards=args.sp)
         acc = evaluate_checkpoint(cfg, variables, dataset, args.save_path,
                                   msf=args.msf, ev=ev,
                                   submit_dir=args.submit,
@@ -273,7 +287,8 @@ def main(argv=None):
         if ev is None:
             ev = make_evaluator(cfg, variables, msf=args.msf,
                                 devices=devices,
-                                shard_crops=args.shard_crops)
+                                shard_crops=args.shard_crops,
+                                spatial_shards=args.sp)
         acc = evaluate_checkpoint(
             cfg, variables, dataset, args.save_path, msf=args.msf, ev=ev,
             submit_dir=args.submit, show_image=args.show_image,

@@ -100,10 +100,16 @@ def space_unshard_interceptor(mesh: Mesh, min_rows_per_shard: int = 4):
     ``height < min_rows_per_shard * sp`` are constrained; everything else
     is left to the partitioner.  Production sizes (min feature height 32+
     at 1024-pixel crops) are untouched.
+
+    Works on any mesh with a ``space`` axis: on the dp x sp training mesh
+    small outputs stay batch-sharded (``P("data")``); on a space-only
+    mesh (spatially-sharded whole-image eval) they are replicated.
     """
     sp = mesh.shape["space"]
     thresh = min_rows_per_shard * sp
-    target = NamedSharding(mesh, P("data"))
+    target = NamedSharding(
+        mesh, P("data") if "data" in mesh.axis_names else P()
+    )
 
     def constrain(v):
         if (
