@@ -294,8 +294,48 @@ def test_spatial_step_validates_divisibility():
                         mesh=make_dp_sp_mesh(2, 2))
     bad = _tiny_batch(cfg, b=3, hw=32)
     state = tr.init_state(jax.random.PRNGKey(0), bad)
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible by the data axis"):
         tr.train_step(state, bad, jax.random.PRNGKey(1))
+
+
+def test_sp_lr_scales_by_data_axis_not_mesh(tmp_path, monkeypatch):
+    """lr_scale_by_world must multiply by the DATA-parallel width (the
+    reference's world_size = #replicas), not dp*sp: spatial shards split
+    one image's height, they don't enlarge the global batch."""
+    import torchseg_tpu.train as train_mod
+
+    captured = {}
+
+    class _Sentinel(Exception):
+        pass
+
+    real_polylr = train_mod.PolyLR
+
+    def spy(base_lr, power, total):
+        captured["base_lr"] = float(base_lr)
+        raise _Sentinel  # abort before any compile — we only need the lr
+
+    monkeypatch.setattr(train_mod, "PolyLR", spy)
+    cfg = get_experiment("voc.fcn32s.R101_v1c")
+    assert cfg.lr_scale_by_world
+    with pytest.raises(_Sentinel):
+        train_mod.main([
+            "-e", "voc.fcn32s.R101_v1c", "--synthetic", "--epochs", "1",
+            "--iters", "1", "--batch-size", "8", "--crop", "32", "32",
+            "--num-workers", "1", "--log-dir", str(tmp_path), "--sp", "2",
+        ])
+    n_dev = len(jax.devices())
+    dp = n_dev // 2
+    assert captured["base_lr"] == pytest.approx(cfg.lr * dp)
+    # and without --sp the full mesh is the data axis, as before
+    with pytest.raises(_Sentinel):
+        train_mod.main([
+            "-e", "voc.fcn32s.R101_v1c", "--synthetic", "--epochs", "1",
+            "--iters", "1", "--batch-size", "8", "--crop", "32", "32",
+            "--num-workers", "1", "--log-dir", str(tmp_path),
+        ])
+    assert captured["base_lr"] == pytest.approx(cfg.lr * n_dev)
+    monkeypatch.setattr(train_mod, "PolyLR", real_polylr)
 
 
 def test_whole_eval_spatial_matches_single_device():
@@ -326,6 +366,44 @@ def test_whole_eval_spatial_matches_single_device():
         ps = evs.whole_eval(img, output_size=hw)
         assert p1.shape == ps.shape == hw
         assert (p1 == ps).mean() > 0.999, (p1 == ps).mean()
+
+
+def test_space_variables_cached_and_swap_safe():
+    """The replicated weight copy on the space mesh is made ONCE per
+    weight swap (not per image), and a swap (eval.py's epoch sweep
+    reassigns ev.variables) refreshes it — the round-2 shard-crops
+    stale-weights class of bug, pinned for the spatial path."""
+    from torchseg_tpu.engine.evaluator import Evaluator
+
+    cfg = get_experiment("cityscapes.bisenet.R18")
+    model = build_model(cfg, axis_name=None)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    v0 = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
+    rngs2 = {"params": jax.random.PRNGKey(7),
+             "dropout": jax.random.PRNGKey(8)}
+    v1 = model.init(rngs2, jnp.zeros((1, 64, 128, 3)), train=True)
+
+    def apply_fn(v, x):
+        return model.apply(v, x, train=False)
+
+    ev = Evaluator(apply_fn, v0, cfg.num_classes, cfg.image_mean,
+                   cfg.image_std, spatial_shards=4)
+    img = np.random.default_rng(3).integers(
+        0, 255, (64, 128, 3)).astype(np.uint8)
+    p0 = ev.whole_eval(img, output_size=(64, 128))
+    cached = ev._sp_vars
+    ev.whole_eval(img, output_size=(64, 128))
+    assert ev._sp_vars is cached  # no re-transfer for the same weights
+    ev.variables = v1  # checkpoint swap
+    p1 = ev.whole_eval(img, output_size=(64, 128))
+    assert ev._sp_vars is not cached
+    assert (p0 != p1).any()  # new weights actually used
+
+    # single-device oracle for the swapped weights
+    ev1 = Evaluator(apply_fn, v1, cfg.num_classes, cfg.image_mean,
+                    cfg.image_std)
+    assert (p1 == ev1.whole_eval(img, output_size=(64, 128))).mean() > 0.999
 
 
 def test_spatial_shards_validation():

@@ -209,7 +209,10 @@ def main(argv=None):
     p.add_argument("--torch-checkpoint", default=None,
                    help="reference .pth to graft and embed")
     p.add_argument("--input-size", default=None,
-                   help="NxHxWxC, default 1x<eval_h>x<eval_w>x3")
+                   help="NxHxWxC; default is the experiment's deploy "
+                        "resolution (eval_resize_to for .speed variants, "
+                        "else the train crop) — pass your real serving "
+                        "size, the artifact's input shape is fixed")
     p.add_argument("--scores", action="store_true",
                    help="emit log-softmax scores instead of argmax labels")
     p.add_argument("--int8-through", action="store_true",
@@ -268,6 +271,8 @@ def main(argv=None):
 
     if args.input_size:
         shape = tuple(int(s) for s in args.input_size.split("x"))
+    elif cfg.eval_resize_to is not None:
+        shape = (1, *cfg.eval_resize_to, 3)
     else:
         shape = (1, cfg.image_height, cfg.image_width, 3)
     output = "scores" if args.scores else "labels"

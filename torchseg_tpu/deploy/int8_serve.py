@@ -496,9 +496,6 @@ def build_int8_package(variables, stats: Dict[str, float], *,
     return pkg
 
 
-_STATIC_KEYS = ("kind", "stride", "n_sp")
-
-
 # ----------------------------------------------------------------------
 # dilated Bottleneck backbones (PSPNet/PSANet/DFN: resnet50/101 v1c os8)
 # ----------------------------------------------------------------------
@@ -795,22 +792,54 @@ def make_int8_pspnet_infer(model, variables, pkg, *, argmax: bool = True,
     return infer, run_pkg
 
 
+def _split_statics(tree: dict):
+    """Recursively split a package tree into (arrays, statics).
+
+    Statics are the python-native structure fields the forward builders
+    consume as compile-time constants — str/bool/int scalars ('kind',
+    'stride', 'dilation', 'n_sp', …) and int tuples ('layers') — at any
+    nesting depth (the Bottleneck packages nest under 'bb').  Everything
+    else (np/jnp arrays, jnp scalars) goes through flax msgpack."""
+    arrays, statics = {}, {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            a, s = _split_statics(v)
+            arrays[k] = a
+            if s:
+                statics[k] = s
+        elif isinstance(v, (str, bool, int)):
+            statics[k] = v
+        elif isinstance(v, (tuple, list)) and all(
+            isinstance(i, (int, bool)) for i in v
+        ):
+            statics[k] = list(v)
+        else:
+            arrays[k] = v
+    return arrays, statics
+
+
+def _merge_statics(arrays, statics):
+    out = dict(arrays)
+    for k, v in statics.items():
+        if isinstance(v, dict):
+            out[k] = _merge_statics(out.get(k, {}), v)
+        elif isinstance(v, list):
+            out[k] = tuple(int(i) for i in v)
+        else:
+            out[k] = v
+    return out
+
+
 def save_int8_package(path: str, pkg: dict) -> str:
     """Persist a built package (quantized weights + epilogue constants) —
     serving hosts load this instead of re-calibrating.  msgpack via
     flax.serialization, like engine/checkpoint.py; the static structure
-    fields travel in a plain side dict."""
+    fields travel in a parallel side tree (works for every package kind:
+    classic-stem r18/x39, bottleneck bodies, bisenet_r101's nested
+    'bb')."""
     from flax import serialization
 
-    statics = {"kind": pkg.get("kind", "r18"),
-               "n_sp": int(pkg["stem"]["n_sp"]),
-               "strides": {k: int(v["stride"]) for k, v in pkg.items()
-                           if isinstance(v, dict) and "stride" in v}}
-    arrays = {
-        k: ({kk: vv for kk, vv in v.items() if kk not in _STATIC_KEYS}
-            if isinstance(v, dict) else v)
-        for k, v in pkg.items() if k != "kind"
-    }
+    arrays, statics = _split_statics(pkg)
     arrays = jax.tree.map(np.asarray, arrays)
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize({"statics": statics,
@@ -823,15 +852,7 @@ def load_int8_package(path: str) -> dict:
 
     with open(path, "rb") as f:
         blob = serialization.msgpack_restore(f.read())
-    statics, arrays = blob["statics"], blob["arrays"]
-    pkg = dict(arrays)
-    pkg["kind"] = str(statics["kind"])
-    pkg["stem"] = dict(pkg["stem"])
-    pkg["stem"]["n_sp"] = int(statics["n_sp"])
-    for k, stride in statics["strides"].items():
-        pkg[k] = dict(pkg[k])
-        pkg[k]["stride"] = int(stride)
-    return pkg
+    return _merge_statics(blob["arrays"], blob["statics"])
 
 
 # ----------------------------------------------------------------------
@@ -1119,8 +1140,6 @@ def build_int8_serving_for_experiment(cfg, model, variables, *,
     Raises ValueError for unsupported families (e.g. Xception depthwise
     decoders with decoder="int8").
     """
-    import numpy as np
-
     classic_stem = not (
         cfg.model == "bisenet_r101"
         or cfg.model.startswith(("pspnet", "psanet", "dfn", "fcn"))

@@ -105,6 +105,24 @@ class Evaluator:
             )
         self.logger = get_logger()
         self._jit_cache = {}
+        # lazily cached replicated copy of self.variables on the space mesh
+        # (one D2D transfer per weight swap, not per image)
+        self._sp_vars = None
+        self._sp_vars_src = None
+
+    def _space_variables(self):
+        """Variables replicated onto the space mesh, cached per weight
+        swap (eval.py's epoch sweep reassigns self.variables)."""
+        if self._sp_mesh is None:
+            return self.variables
+        if self._sp_vars_src is not self.variables:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._sp_vars = jax.device_put(
+                self.variables, NamedSharding(self._sp_mesh, P())
+            )
+            self._sp_vars_src = self.variables
+        return self._sp_vars
 
     # ------------------------------------------------------------------
     # device path
@@ -418,7 +436,9 @@ class Evaluator:
         out = tuple(int(v) for v in output_size) if output_size is not None \
             else None
         fn = self._whole_fn(img.shape, margin, out)
-        return np.asarray(fn(self.variables, jnp.asarray(img, jnp.uint8)))
+        return np.asarray(
+            fn(self._space_variables(), jnp.asarray(img, jnp.uint8))
+        )
 
     def _finish_fn(self, in_shape, margin, ori_shape):
         """Jitted unpad + linear resize to ori_shape, on device (the

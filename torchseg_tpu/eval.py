@@ -205,6 +205,12 @@ def main(argv=None):
 
     if args.speed or args.summary:
         # reference -speed/--summary hooks (model/bisenet/*.speed/eval.py)
+        if args.sp > 1:
+            raise SystemExit(
+                "-speed/--summary benchmarks the single-device forward; "
+                "--sp does not apply (drop it, or time the sharded path "
+                "with torchseg-eval --sp N on real images)"
+            )
         from .tools import speed as speed_tool
 
         speed_args = ["-e", args.experiment, "--input-size", args.input_size]

@@ -86,8 +86,8 @@ def upsample_by_scale(x: jnp.ndarray, scale: int, dtype=None):
     return resize_bilinear_align_corners(x, (h * scale, w * scale), dtype=dtype)
 
 
-def tiled_upsample_argmax(raw: jnp.ndarray, out_hw, row_tile: int = 128
-                          ) -> jnp.ndarray:
+def tiled_upsample_argmax(raw: jnp.ndarray, out_hw, row_tile: int = 128,
+                          precision=None) -> jnp.ndarray:
     """argmax of the align-corners bilinear upsample WITHOUT materializing
     the full-resolution score tensor.
 
@@ -109,14 +109,21 @@ def tiled_upsample_argmax(raw: jnp.ndarray, out_hw, row_tile: int = 128
     b, h, w, c = raw.shape
     oh, ow = int(out_hw[0]), int(out_hw[1])
     rt = min(row_tile, oh)
-    assert oh % rt == 0, (oh, rt)
+    while oh % rt:  # largest divisor of oh <= row_tile (1080p etc.)
+        rt -= 1
+    # default HIGHEST: the materialized epilogue this replaces
+    # (resize_bilinear_align_corners) forces HIGHEST in f32, and the
+    # docstring promises argmax equality — DEFAULT measured 0.21%
+    # boundary-pixel divergence on v5e
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
     wh = jnp.asarray(_interp_matrix_np(h, oh), jnp.float32)
     ww = jnp.asarray(_interp_matrix_np(w, ow), jnp.float32)
-    z = jnp.einsum("ip,bpqc->biqc", wh, raw.astype(jnp.float32))
+    z = jnp.einsum("ip,bpqc->biqc", wh, raw.astype(jnp.float32),
+                   precision=prec)
     zc = z.reshape(b, oh // rt, rt, w, c).transpose(1, 0, 2, 3, 4)
 
     def chunk(zt):  # (b, rt, w, c) -> (b, rt, ow)
-        s = jnp.einsum("bpqc,jq->bpjc", zt, ww)
+        s = jnp.einsum("bpqc,jq->bpjc", zt, ww, precision=prec)
         return jnp.argmax(s, axis=-1).astype(jnp.int32)
 
     out = jax.lax.map(chunk, zc)  # (oh//rt, b, rt, ow)

@@ -248,12 +248,16 @@ class S2DConv(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
-        if STEM_FWD_S2D and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        # the custom backward (_cpad_bwd) splits rows/cols by parity and
+        # requires even H and W; odd sizes keep the stock conv + stock vjp
+        even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        if STEM_FWD_S2D and even:
             conv = conv_stride2_s2d_cv if STEM_WGRAD_MATMUL else \
                 conv_stride2_s2d_rp
+        elif STEM_WGRAD_MATMUL and even:
+            conv = conv_stride2_cpad_cv
         else:
-            conv = conv_stride2_cpad_cv if STEM_WGRAD_MATMUL else \
-                conv_stride2_cpad
+            conv = conv_stride2_cpad
         return conv(x.astype(dtype), kernel.astype(dtype))
 
 

@@ -229,8 +229,8 @@ class SpatialTrainer:
         h = batch["image"].shape[1]
         if b % dp or h % sp:
             raise ValueError(
-                f"global batch {b} must divide data={dp} and image height "
-                f"{h} must divide space={sp}"
+                f"global batch {b} must be divisible by the data axis "
+                f"({dp}) and image height {h} by the space axis ({sp})"
             )
         if self._step_fn is None:
             self._step_fn = self._build(batch)

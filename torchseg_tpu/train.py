@@ -139,6 +139,7 @@ def main(argv=None):
     else:
         mesh = make_data_mesh()
         n_dev = mesh.devices.size
+        dp = n_dev
         if batch_size % n_dev:
             raise ValueError(
                 f"batch {batch_size} not divisible by {n_dev} devices")
@@ -206,8 +207,9 @@ def main(argv=None):
     if cfg.lr_scale_by_world:
         # the reference scales base_lr by the number of data-parallel shards
         # (engine.world_size = #GPUs, fcn train.py:60-62); on TPU that is the
-        # mesh size (total devices), not the host process count
-        base_lr = cfg.lr * n_dev * 1.0  # FCN rule
+        # DATA axis width — spatial shards split one image's height, not the
+        # batch, so they must not inflate the lr
+        base_lr = cfg.lr * dp * 1.0  # FCN rule
     lr_schedule = PolyLR(base_lr, cfg.lr_power, nepochs * niters)
 
     if sp > 1:
