@@ -251,11 +251,20 @@ def main(argv=None):
     )
 
     if args.pretrained:
-        from .utils.torch_convert import graft_torch_checkpoint
+        if args.pretrained.endswith(".params"):
+            # GluonCV model-zoo checkpoint (the v1c deep-stem source) —
+            # the role of reference tools/gluon2pytorch.py, direct
+            from .utils.gluon_convert import graft_gluon_backbone
 
-        state = state.replace(
-            params=graft_torch_checkpoint(args.pretrained, state.params)
-        )
+            state = state.replace(
+                params=graft_gluon_backbone(args.pretrained, state.params)
+            )
+        else:
+            from .utils.torch_convert import graft_torch_checkpoint
+
+            state = state.replace(
+                params=graft_torch_checkpoint(args.pretrained, state.params)
+            )
 
     start_epoch = 0
     snapshot_dir = os.path.join(args.log_dir, cfg.name, "snapshot")
