@@ -115,6 +115,24 @@ def test_tiled_upsample_argmax_equals_plain_epilogue():
     assert got.shape == (2, 128, 192)
 
 
+def test_tiled_upsample_argmax_non_divisor_height():
+    """Prime-ish output heights (1081p etc.) must keep the full row tile by
+    padding up and slicing, not degenerate to rt=1 (advisor round-3): the
+    result still matches the materialized epilogue."""
+    from torchseg_tpu.ops.resize import (
+        resize_bilinear_align_corners,
+        tiled_upsample_argmax,
+    )
+
+    raw = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 24, 7))
+    oh, ow = 131, 96  # 131 prime: old fallback would loop 131 chunks
+    up = resize_bilinear_align_corners(raw, (oh, ow), dtype=jnp.float32)
+    ref = np.asarray(jnp.argmax(up, axis=-1))
+    got = np.asarray(tiled_upsample_argmax(raw, (oh, ow), row_tile=32))
+    assert got.shape == (1, oh, ow)
+    assert (got == ref).mean() > 0.9995
+
+
 def test_fused_infer_tiled_argmax_full_model():
     """The 'tiled' serving mode end to end on the full-res R18 model: must
     equal the plain scores' argmax."""

@@ -517,3 +517,95 @@ def test_int8_decoder_x39_matches_float_graph():
     assert rel < 0.25, rel
     agree = (got.argmax(-1) == ref.argmax(-1)).mean()
     assert agree > 0.85, agree
+
+
+def test_int8_package_save_load_roundtrip_bottleneck(tmp_path):
+    """Round-trip the recursive statics split/merge on a Bottleneck
+    package ('layers' tuple + per-block 'stride'/'dilation' ints) — the
+    serializer-rewrite cases the classic-stem test doesn't reach."""
+    from torchseg_tpu.deploy.int8_serve import (
+        build_int8_backbone_package,
+        calibrate_channelwise,
+        load_int8_package,
+        make_int8_pspnet_infer,
+        prepare_u8_input,
+        save_int8_package,
+    )
+
+    model = models.pspnet_r50(num_classes=21)
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 255, (1, 64, 128, 3)).astype(np.uint8)
+    xf = jnp.asarray(_normalize(img))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        xf, train=True,
+    )
+    stats = calibrate_channelwise(model, variables, [xf])
+    pkg = build_int8_backbone_package(variables, stats, depth=50,
+                                      image_mean=MEAN, image_std=STD)
+    pkg2 = load_int8_package(
+        save_int8_package(str(tmp_path / "r50.int8pkg"), pkg))
+    assert pkg2["kind"] == pkg["kind"]
+    assert pkg2["layers"] == pkg["layers"]
+    assert all(isinstance(i, int) for i in pkg2["layers"])
+
+    infer1, run1 = make_int8_pspnet_infer(model, variables, pkg,
+                                          argmax=True, dtype=jnp.float32)
+    infer2, run2 = make_int8_pspnet_infer(model, variables, pkg2,
+                                          argmax=True, dtype=jnp.float32)
+    xs = prepare_u8_input(img, image_mean=MEAN)
+    np.testing.assert_array_equal(np.asarray(infer1(run1, xs)),
+                                  np.asarray(infer2(run2, xs)))
+
+
+def test_int8_package_save_load_roundtrip_bisenet_r101(tmp_path):
+    """Round-trip the nested 'bb' subtree of the bisenet_r101 package."""
+    from torchseg_tpu.deploy.int8_serve import (
+        build_int8_bisenet_r101_package,
+        calibrate_channelwise,
+        load_int8_package,
+        make_int8_bisenet_r101_infer,
+        prepare_u8_input,
+        save_int8_package,
+    )
+
+    model = models.bisenet_r101(num_classes=19)
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 255, (1, 64, 128, 3)).astype(np.uint8)
+    xf = jnp.asarray(_normalize(img))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(5), "dropout": jax.random.PRNGKey(6)},
+        xf, train=True,
+    )
+    stats = calibrate_channelwise(model, variables, [xf])
+    pkg = build_int8_bisenet_r101_package(variables, stats,
+                                          image_mean=MEAN, image_std=STD)
+    pkg2 = load_int8_package(
+        save_int8_package(str(tmp_path / "br101.int8pkg"), pkg))
+    assert pkg2["bb"]["kind"] == pkg["bb"]["kind"]
+    assert pkg2["bb"]["layers"] == pkg["bb"]["layers"]
+
+    infer1, run1 = make_int8_bisenet_r101_infer(model, variables, pkg,
+                                                argmax=True,
+                                                dtype=jnp.float32)
+    infer2, run2 = make_int8_bisenet_r101_infer(model, variables, pkg2,
+                                                argmax=True,
+                                                dtype=jnp.float32)
+    xs = prepare_u8_input(img, pad=3, image_mean=MEAN)
+    np.testing.assert_array_equal(np.asarray(infer1(run1, xs)),
+                                  np.asarray(infer2(run2, xs)))
+
+
+def test_int8_package_load_rejects_legacy_format(tmp_path):
+    """A blob without the v2 format tag must fail loudly, not KeyError
+    deep inside the builder."""
+    from flax import serialization
+
+    from torchseg_tpu.deploy.int8_serve import load_int8_package
+
+    path = tmp_path / "legacy.int8pkg"
+    legacy = {"statics": {"kind": "classic", "n_sp": 2},
+              "arrays": {"stem": {"w": np.zeros((4, 4, 12, 64), np.int8)}}}
+    path.write_bytes(serialization.msgpack_serialize(legacy))
+    with pytest.raises(ValueError, match="unsupported .int8pkg format"):
+        load_int8_package(str(path))

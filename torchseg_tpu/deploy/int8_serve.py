@@ -824,10 +824,15 @@ def _merge_statics(arrays, statics):
         if isinstance(v, dict):
             out[k] = _merge_statics(out.get(k, {}), v)
         elif isinstance(v, list):
-            out[k] = tuple(int(i) for i in v)
+            # preserve element types (ints stay int, bools stay bool) so a
+            # static list round-trips exactly as _split_statics stored it
+            out[k] = tuple(v)
         else:
             out[k] = v
     return out
+
+
+INT8PKG_FORMAT_VERSION = 2
 
 
 def save_int8_package(path: str, pkg: dict) -> str:
@@ -842,8 +847,9 @@ def save_int8_package(path: str, pkg: dict) -> str:
     arrays, statics = _split_statics(pkg)
     arrays = jax.tree.map(np.asarray, arrays)
     with open(path, "wb") as f:
-        f.write(serialization.msgpack_serialize({"statics": statics,
-                                                 "arrays": arrays}))
+        f.write(serialization.msgpack_serialize(
+            {"v": INT8PKG_FORMAT_VERSION, "statics": statics,
+             "arrays": arrays}))
     return path
 
 
@@ -852,6 +858,15 @@ def load_int8_package(path: str) -> dict:
 
     with open(path, "rb") as f:
         blob = serialization.msgpack_restore(f.read())
+    v = blob.get("v") if isinstance(blob, dict) else None
+    if v != INT8PKG_FORMAT_VERSION or "arrays" not in blob \
+            or "statics" not in blob:
+        raise ValueError(
+            f"{path}: unsupported .int8pkg format "
+            f"(version={v!r}, expected {INT8PKG_FORMAT_VERSION}); "
+            "re-export the package with save_int8_package / "
+            "torchseg-export --int8-through"
+        )
     return _merge_statics(blob["arrays"], blob["statics"])
 
 

@@ -109,22 +109,30 @@ def tiled_upsample_argmax(raw: jnp.ndarray, out_hw, row_tile: int = 128,
     b, h, w, c = raw.shape
     oh, ow = int(out_hw[0]), int(out_hw[1])
     rt = min(row_tile, oh)
-    while oh % rt:  # largest divisor of oh <= row_tile (1080p etc.)
-        rt -= 1
+    # non-divisor heights (1081 etc.): pad the row dimension up to the next
+    # multiple of rt (duplicating the last interpolation row) and slice the
+    # result — keeps the tile at row_tile instead of degenerating toward
+    # rt=1 (= oh sequential lax.map chunks) for prime/near-prime heights
+    oh_pad = -(-oh // rt) * rt
     # default HIGHEST: the materialized epilogue this replaces
     # (resize_bilinear_align_corners) forces HIGHEST in f32, and the
     # docstring promises argmax equality — DEFAULT measured 0.21%
     # boundary-pixel divergence on v5e
     prec = jax.lax.Precision.HIGHEST if precision is None else precision
-    wh = jnp.asarray(_interp_matrix_np(h, oh), jnp.float32)
+    wh_np = _interp_matrix_np(h, oh)
+    if oh_pad != oh:
+        wh_np = np.concatenate(
+            [wh_np, np.repeat(wh_np[-1:], oh_pad - oh, axis=0)]
+        )
+    wh = jnp.asarray(wh_np, jnp.float32)
     ww = jnp.asarray(_interp_matrix_np(w, ow), jnp.float32)
     z = jnp.einsum("ip,bpqc->biqc", wh, raw.astype(jnp.float32),
                    precision=prec)
-    zc = z.reshape(b, oh // rt, rt, w, c).transpose(1, 0, 2, 3, 4)
+    zc = z.reshape(b, oh_pad // rt, rt, w, c).transpose(1, 0, 2, 3, 4)
 
     def chunk(zt):  # (b, rt, w, c) -> (b, rt, ow)
         s = jnp.einsum("bpqc,jq->bpjc", zt, ww, precision=prec)
         return jnp.argmax(s, axis=-1).astype(jnp.int32)
 
-    out = jax.lax.map(chunk, zc)  # (oh//rt, b, rt, ow)
-    return out.transpose(1, 0, 2, 3).reshape(b, oh, ow)
+    out = jax.lax.map(chunk, zc)  # (oh_pad//rt, b, rt, ow)
+    return out.transpose(1, 0, 2, 3).reshape(b, oh_pad, ow)[:, :oh]
