@@ -78,6 +78,11 @@ def main(argv=None):
     p.add_argument("--device-augment", action="store_true",
                    help="host only generates raw images; mirror/scale/crop/"
                         "normalize run on the TPU (data/device_augment.py)")
+    p.add_argument("-e", "--experiment", default=None,
+                   help="exercise a registry experiment's full train stack "
+                        "(model + loss + preprocess, e.g. "
+                        "ade.pspnet.R50_v1c, cityscapes.dfn.R101_v1c) at "
+                        "toy scale instead of the default BiSeNet-X39 demo")
     args = p.parse_args(argv)
 
     import jax
@@ -101,33 +106,90 @@ def main(argv=None):
     bs = args.batch_size - args.batch_size % n_dev or n_dev
 
     mean, std = np.zeros(3, np.float32), np.ones(3, np.float32)
-    device_aug = None
-    if args.device_augment:
-        from torchseg_tpu.data.device_augment import make_device_augment
-
-        pre = None  # host ships raw uint8; the TPU augments
-        device_aug = make_device_augment(
-            (args.crop, args.crop), (0.75, 1.0, 1.25), mean, std
+    gt_down = 1
+    if args.experiment:
+        # registry path: the experiment's own model family, loss setup
+        # (OHEM / CE+aux / DFN dual-branch focal) and preprocess pipeline
+        # (incl. DFN's Canny border aux labels), shrunk to toy scale —
+        # convergence evidence for every family without real datasets
+        from torchseg_tpu.experiments.registry import (
+            build_loss_fn,
+            build_model,
+            build_preprocess,
+            get_experiment,
         )
+
+        cfg = dataclasses.replace(
+            get_experiment(args.experiment),
+            num_classes=3,
+            image_height=args.crop, image_width=args.crop,
+            batch_size=bs, ignore_label=255,
+            image_mean=tuple(mean), image_std=tuple(std),
+            train_scale_array=(0.75, 1.0, 1.25),
+        )
+        if "psanet" in cfg.model:
+            # keep the exact PSA path (H*W == att_channels) at toy scale
+            kw = dict(cfg.model_kwargs)
+            kw["att_channels"] = (args.crop // 8) ** 2
+            cfg = dataclasses.replace(cfg, model_kwargs=kw)
+        gt_down = cfg.gt_down_sampling
+        if args.device_augment:
+            raise SystemExit("--device-augment is the X39 demo path; "
+                             "use it without -e")
+        pre = build_preprocess(cfg)
+        model = build_model(cfg, axis_name="data")
+        loss_fn = build_loss_fn(cfg, num_shards=n_dev)
+        lr_policy = PolyLR(cfg.lr, cfg.lr_power, args.steps)
+        momentum, lr_mult, wd = cfg.momentum, cfg.business_lr_mult, \
+            cfg.weight_decay
+        device_aug = None
     else:
-        pre = SegTrainPre(mean, std, args.crop,
-                          train_scale_array=(0.75, 1, 1.25))
-    train_ds = ShapesDataset(bs * args.steps, (args.crop, args.crop), pre)
-    val_ds = ShapesDataset(16, (args.crop, args.crop), None, seed=99)
+        device_aug = None
+        if args.device_augment:
+            from torchseg_tpu.data.device_augment import make_device_augment
 
-    model = models.bisenet_x39(num_classes=3)
-    min_kept = bs // n_dev * args.crop * args.crop // 16
-
-    def loss_fn(outs, batch):
-        total = 0.0
-        for key in ("aux0", "aux1", "main"):
-            total = total + prob_ohem_cross_entropy(
-                outs[key], batch["label"], 255, thresh=0.7, min_kept=min_kept
+            pre = None  # host ships raw uint8; the TPU augments
+            device_aug = make_device_augment(
+                (args.crop, args.crop), (0.75, 1.0, 1.25), mean, std
             )
-        return total
+        else:
+            pre = SegTrainPre(mean, std, args.crop,
+                              train_scale_array=(0.75, 1, 1.25))
 
-    trainer = Trainer(model, loss_fn, PolyLR(5e-2, 0.9, args.steps),
-                      sgd_momentum=0.9, mesh=mesh)
+        model = models.bisenet_x39(num_classes=3)
+        min_kept = bs // n_dev * args.crop * args.crop // 16
+
+        def loss_fn(outs, batch):
+            total = 0.0
+            for key in ("aux0", "aux1", "main"):
+                total = total + prob_ohem_cross_entropy(
+                    outs[key], batch["label"], 255, thresh=0.7,
+                    min_kept=min_kept
+                )
+            return total
+
+        lr_policy = PolyLR(5e-2, 0.9, args.steps)
+        momentum, lr_mult, wd = 0.9, 10.0, 5e-4
+
+    label_offset = 0
+    if args.experiment and cfg.preprocess == "ade":
+        # ADE convention: raw labels are 1-based (0 = unlabeled); the
+        # preprocess/eval shift by -1 (reference ade dataloader.py:28-31)
+        label_offset = -1
+
+        class _AdeShapes(ShapesDataset):
+            def make(self, index):
+                img, gt = super().make(index)
+                return img, gt + 1
+
+        ds_cls = _AdeShapes
+    else:
+        ds_cls = ShapesDataset
+    train_ds = ds_cls(bs * args.steps, (args.crop, args.crop), pre)
+    val_ds = ds_cls(16, (args.crop, args.crop), None, seed=99)
+
+    trainer = Trainer(model, loss_fn, lr_policy,
+                      sgd_momentum=momentum, mesh=mesh)
     loader = TrainLoader(train_ds, bs, num_workers=4)
     loader.set_epoch(0)
     it = iter(loader)
@@ -143,8 +205,8 @@ def main(argv=None):
     batch0 = to_batch(next(it), jax.random.PRNGKey(42))
     state = trainer.init_state(jax.random.PRNGKey(0), batch0)
     trainer.configure_groups(
-        make_lr_mult_tree(state.params, 10.0),
-        make_wd_tree(state.params, 5e-4),
+        make_lr_mult_tree(state.params, lr_mult),
+        make_wd_tree(state.params, wd),
     )
 
     def evaluate(state):
@@ -154,7 +216,9 @@ def main(argv=None):
             3, mean, std,
         )
         acc = ev.run_dataset(val_ds, mode="whole",
-                             process_index=0, process_count=1)
+                             process_index=0, process_count=1,
+                             gt_down_sampling=gt_down,
+                             label_offset=label_offset)
         return acc.scores()[1]
 
     miou0 = evaluate(state)

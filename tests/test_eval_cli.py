@@ -10,6 +10,9 @@ import torch.nn as nn
 from torchseg_tpu.eval import main
 
 from test_ref_forward_parity import load_ref_network, randomize_
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: see TESTING.md
 
 
 def test_eval_torch_checkpoint_fcn(tmp_path):
@@ -30,3 +33,39 @@ def test_eval_torch_checkpoint_fcn(tmp_path):
     # the val log was written
     logs = list((tmp_path / "log" / "voc.fcn32s.R101_v1c").glob("val_*.log"))
     assert logs and "torch ckpt" in logs[0].read_text()
+
+
+def test_eval_torch_checkpoint_bisenet_msf(tmp_path, monkeypatch):
+    """The flagship mIoU-parity workflow (BiSeNet-R18, msf sliding protocol)
+    on a synthetic reference .pth: .pth -> graft_full_checkpoint -> msf
+    sliding eval -> mIoU, with the experiment's protocol shrunk to test
+    scale.  Together with the ss-protocol FCN test above, every leg of the
+    runbook (docs/REPRODUCE.md §5) is pinned without real data."""
+    import dataclasses
+
+    import torchseg_tpu.eval as eval_mod
+
+    orig = eval_mod.get_experiment
+
+    def small(name):
+        return dataclasses.replace(
+            orig(name), eval_base_size=48, eval_crop_size=48,
+            eval_ms_scale_array=(0.75, 1.0),
+        )
+
+    monkeypatch.setattr(eval_mod, "get_experiment", small)
+
+    ref = load_ref_network("bisenet/cityscapes.bisenet.R18", 19)
+    t = ref.BiSeNet(19, None, None, norm_layer=nn.BatchNorm2d).eval()
+    randomize_(t, seed=11)
+    ckpt = tmp_path / "epoch-80.pth"
+    torch.save({"model": t.state_dict()}, str(ckpt))
+
+    results = main([
+        "-e", "cityscapes.bisenet.R18", "--synthetic", "1", "--msf",
+        "--torch-checkpoint", str(ckpt), "--log-dir", str(tmp_path / "log"),
+    ])
+    assert len(results) == 1
+    tag, miou = results[0]
+    assert tag == "torch"
+    assert np.isfinite(miou) and 0.0 <= miou <= 1.0

@@ -512,3 +512,107 @@ def test_multidevice_worker_failure_is_loud():
     ev = Evaluator(flaky_apply, {}, 3, MEAN, STD, devices=_jax.devices()[:2])
     with pytest.raises(RuntimeError, match="worker boom"):
         ev.run_dataset(ds, mode="whole", process_index=0, process_count=1)
+
+
+def test_speed_protocol_matches_reference_oracle():
+    """End-to-end speed-variant protocol (resize_to + gt//8 + whole_eval at
+    label resolution) against a numpy transcription of the reference speed
+    eval loop (model/bisenet/cityscapes.bisenet.R18.speed/eval.py:26-45 +
+    whole_eval evaluator.py:164-183): input cv2-resized INTER_LINEAR, label
+    cv2-resized INTER_NEAREST to (H//8, W//8), one forward, score resized
+    linearly to the label grid, argmax, hist."""
+    import cv2
+    import jax
+
+    from torchseg_tpu.ops.metrics import hist_info
+
+    mean = np.array([0.4, 0.5, 0.6], np.float32)
+    std = np.array([0.25, 0.3, 0.2], np.float32)
+
+    def apply_fn(variables, x):
+        gray = jnp.mean(x, axis=-1)
+        col = jnp.broadcast_to(
+            jnp.linspace(-1.0, 1.0, x.shape[2])[None, None, :], gray.shape
+        )
+        return jnp.stack([gray + col, -gray, col * 0 + 0.1], axis=-1)
+
+    h, w = 64, 128
+    ds = _NamedSynth(num_items=3, image_hw=(57, 101), num_classes=3)
+    ev = Evaluator(apply_fn, {}, 3, mean, std)
+    acc = ev.run_dataset(
+        ds, mode="whole", process_index=0, process_count=1,
+        gt_down_sampling=8, resize_to=(h, w),
+    )
+
+    # ---- numpy oracle of the reference speed-protocol loop ----
+    hist = np.zeros((3, 3), np.int64)
+    labeled = correct = 0
+    for i in range(len(ds)):
+        item = ds[i]
+        img = cv2.resize(item["image"], (w, h),
+                         interpolation=cv2.INTER_LINEAR)
+        label = cv2.resize(item["label"].astype(np.int32),
+                           (w // 8, h // 8),
+                           interpolation=cv2.INTER_NEAREST)
+        norm = (img.astype(np.float32) / 255.0 - mean) / std
+        score = np.exp(
+            np.asarray(apply_fn({}, jnp.asarray(norm[None])))[0]
+        )
+        # reference resizes the score map to output_size with
+        # cv2.INTER_LINEAR; jax.image 'linear' shares the half-pixel
+        # convention (see _finish_fn docstring)
+        score = np.asarray(jax.image.resize(
+            jnp.asarray(score), (h // 8, w // 8, 3), method="linear"))
+        pred = score.argmax(-1)
+        hi, la, co = hist_info(3, pred, label)
+        hist += hi
+        labeled += int(la)
+        correct += int(co)
+
+    np.testing.assert_array_equal(acc.hist, hist)
+    assert acc.labeled == labeled and acc.correct == correct
+
+
+class _AdeRawSynth(SyntheticDataset):
+    """ADE-style raw items: labels 1-based (0 = unlabeled), Cityscapes-style
+    names; the protocol shifts them by -1 at eval time."""
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        rng = np.random.default_rng(7000 + index)
+        item["label"] = rng.integers(
+            0, self.num_classes + 1, size=item["label"].shape
+        ).astype(np.float32)  # ADE gt is read as float32 (ade.py:20-24)
+        item["fn"] = f"ADE_val_0000000{index}"
+        return item
+
+
+def test_ade_offset_protocol_matches_reference_oracle():
+    """The ADE leg — raw 1-based labels shifted by -1 at eval time
+    (reference model/pspnet/ade.pspnet.R50_v1c/eval.py:28 `label = label-1`)
+    with the sliding protocol; unlabeled (-1 after shift) pixels must drop
+    out of the histogram exactly as hist_info's (gt >= 0) mask does."""
+    from torchseg_tpu.ops.metrics import hist_info
+
+    ds = _AdeRawSynth(num_items=3, image_hw=(24, 30), num_classes=3)
+    ev = Evaluator(_pixelwise_apply, {}, 3, MEAN, STD,
+                   multi_scales=[1.0], crop_size=32)
+    acc = ev.run_dataset(
+        ds, mode="sliding", process_index=0, process_count=1,
+        label_offset=-1,
+    )
+
+    hist = np.zeros((3, 3), np.int64)
+    labeled = correct = 0
+    for i in range(len(ds)):
+        item = ds[i]
+        label = item["label"].astype(np.int64) - 1
+        pred = _pixelwise_argmax(item["image"])
+        hi, la, co = hist_info(3, pred, label)
+        hist += hi
+        labeled += int(la)
+        correct += int(co)
+    assert (np.asarray([ds[i]["label"] for i in range(3)]) == 0).any(), \
+        "fixture must contain unlabeled pixels"
+    np.testing.assert_array_equal(acc.hist, hist)
+    assert acc.labeled == labeled and acc.correct == correct

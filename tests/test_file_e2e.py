@@ -21,6 +21,8 @@ from torchseg_tpu.data.cityscapes import Cityscapes
 from torchseg_tpu.tools.make_manifest import main as make_manifest
 from torchseg_tpu.train import main as train_main
 
+pytestmark = pytest.mark.slow  # heavy tier: see TESTING.md
+
 HW = (64, 128)
 EXP = "cityscapes.bisenet.R18"
 

@@ -14,6 +14,8 @@ from torchseg_tpu.utils.torch_convert import (
     _flatten,
 )
 
+pytestmark = pytest.mark.slow  # heavy tier: see TESTING.md
+
 KEY = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
 
 

@@ -11,6 +11,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: see TESTING.md
+
 
 def test_two_process_training_and_eval_gather():
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")

@@ -30,6 +30,8 @@ from torchseg_tpu.utils.torch_convert import (
     graft_full_checkpoint,
 )
 
+pytestmark = pytest.mark.slow  # heavy tier: see TESTING.md
+
 REF = "/root/reference"
 FURNACE = REF + "/furnace"
 

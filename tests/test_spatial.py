@@ -30,6 +30,8 @@ from torchseg_tpu.parallel import (
     space_unshard_interceptor,
 )
 
+pytestmark = pytest.mark.slow  # heavy tier: see TESTING.md
+
 
 def _tiny_batch(cfg, b=4, hw=32, seed=0):
     rng = np.random.default_rng(seed)

@@ -234,15 +234,20 @@ def get_experiment(name: str) -> ExperimentConfig:
 
 def _use_fused_head_loss(cfg: ExperimentConfig) -> bool:
     """Upsample-then-loss experiments train with raw heads + the fused
-    upsample+loss when the chip-gated default is on (ops/losses.py):
-    BiSeNet OHEM, PSP/PSA/FCN CE, and the DFN smooth branch."""
-    if not _losses.FUSED_UPSAMPLE_LOSS:
+    upsample+loss when the chip-measured gate says so (ops/losses.py):
+    forced ON/OFF by the A/B arms, else the per-family measured defaults
+    (FUSED_UPSAMPLE_LOSS_MODELS, docs/DESIGN.md)."""
+    eligible = (
+        (cfg.loss == "ohem" and cfg.model.startswith("bisenet"))
+        or (cfg.loss == "ce"
+            and cfg.model.startswith(("pspnet", "psanet", "fcn")))
+        or cfg.loss == "dfn"
+    )
+    if not eligible:
         return False
-    if cfg.loss == "ohem":
-        return cfg.model.startswith("bisenet")
-    if cfg.loss == "ce":
-        return cfg.model.startswith(("pspnet", "psanet", "fcn"))
-    return cfg.loss == "dfn"
+    if _losses.FUSED_UPSAMPLE_LOSS is not None:
+        return bool(_losses.FUSED_UPSAMPLE_LOSS)
+    return cfg.model.startswith(tuple(_losses.FUSED_UPSAMPLE_LOSS_MODELS))
 
 
 def _bisenet_head_scales(cfg: ExperimentConfig) -> Tuple[int, int, int]:

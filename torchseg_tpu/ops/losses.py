@@ -225,12 +225,18 @@ def _ohem_tail(gt_logp, valid, safe_labels, n, thresh, min_kept,
     return jnp.sum(nll * wgt) / jnp.maximum(denom, 1e-12)
 
 
-# Chip-gated default (flip to A/B): when True the registry builds the
-# upsample-then-loss experiments (BiSeNet OHEM, PSP/PSA/FCN/DFN CE) with
-# raw train heads + the fused upsample+loss entry points below.
-# Stays False until the chip A/B proves it (same protocol as the maxpool
-# backward and stem s2d gates — see docs/DESIGN.md).
-FUSED_UPSAMPLE_LOSS = False
+# Chip-gated switch for the fused upsample+loss training path (raw train
+# heads; the loss owns the x-scale upsample, row-tiled):
+#   None  -> per-family measured defaults (FUSED_UPSAMPLE_LOSS_MODELS,
+#            set from the chip A/B table in docs/DESIGN.md)
+#   True  -> force ON for every upsample-then-loss experiment (A/B arm)
+#   False -> force OFF (A/B arm)
+# train_speed --fused-loss / --no-fused-loss set the forced arms.
+FUSED_UPSAMPLE_LOSS = None
+
+# Model-name prefixes where the fused path measured FASTER on v5e
+# (chip A/B, round 4 — docs/DESIGN.md "fused upsample+loss" table).
+FUSED_UPSAMPLE_LOSS_MODELS: tuple = ()
 
 
 def _upsampled_gt_logp(scores, labels, scale, ignore_label, row_tile,
