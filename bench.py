@@ -1,15 +1,24 @@
 """Headline benchmark: BiSeNet-R18 real-time single-scale inference FPS at
 1024x2048 on one TPU chip (BASELINE.md north star: >= 200 FPS/chip on v5e).
 
+The headline path is the shipped int8-through serving artifact
+(deploy/int8_serve.py: uint8 s2d input, int8 stems+spatial+body) — the
+production serving configuration, with 97.5% argmax agreement vs bf16 on
+random weights (docs/MODEL_ZOO.md; recalibrate on val images for a real
+checkpoint).  The bf16 fused-stem deploy number is reported alongside.
+
 Measurement (the tunnel to the chip has ~35 ms dispatch overhead, caches
 identical executions, and its block_until_ready is unreliable — see
 docs/DESIGN.md):
   1. primary: XLA-profiler device time — run K inferences on DISTINCT
      pre-uploaded inputs under jax.profiler.trace and read the per-module
      device duration from the xplane (pure compute, no host artifacts);
-  2. fallback: N forwards chained in one fori_loop with an inter-iteration
-     data dependency, best-of-R wall time / N (conservative: includes the
-     chain's carry-update work).
+  2. secondary, conservative: N forwards chained in one fori_loop with an
+     inter-iteration data dependency, best-of-R wall time / N (includes
+     the chain's carry-update work + the dispatch amortized over N).
+
+Compiles are cached in the repo-local .jax_ccache/ (shared with the test
+suite), so a bench run after any session run is warm (~seconds/graph).
 
 Prints ONE JSON line.
 """
@@ -17,21 +26,37 @@ Prints ONE JSON line.
 import argparse
 import glob
 import json
+import os
 import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _enable_cache():
+    try:
+        from torchseg_tpu.utils.misc import enable_compile_cache
+
+        enable_compile_cache()
+    except Exception:
+        import jax
+
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(_REPO, ".jax_ccache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2)
+        except Exception:
+            pass
+
 
 def build(args, experiment=None, height=None, width=None):
+    """bf16 fused-stem deploy graph (deploy/fused_stem.py)."""
     import jax
     import jax.numpy as jnp
 
-    # persistent compile cache: repeat bench runs skip the ~60 s compile
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    _enable_cache()
 
     from torchseg_tpu.deploy.fused_stem import (
         _fused_stem_s2d,
@@ -76,6 +101,54 @@ def build(args, experiment=None, height=None, width=None):
     return infer, variables, make_input
 
 
+def build_int8(args, experiment=None, height=None, width=None):
+    """int8-through serving graph (deploy/int8_serve.py) for a classic-stem
+    BiSeNet speed experiment.  Calibration runs at half size — activation
+    absmax is size-robust and the plain-graph compile is 4x cheaper."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_cache()
+
+    from torchseg_tpu.deploy.int8_serve import (
+        build_int8_package,
+        calibrate_channelwise,
+        make_int8_through_infer,
+        prepare_s2d_input_u8,
+    )
+    from torchseg_tpu.experiments.registry import build_model, get_experiment
+
+    cfg = get_experiment(experiment or args.experiment)
+    model = build_model(cfg, axis_name=None, dtype=jnp.bfloat16)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables,
+    )
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    h = height if height is not None else args.height
+    w = width if width is not None else args.width
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (1, h, w, 3)).astype(np.uint8)
+            for _ in range(8)]
+    calib = [jnp.asarray(
+        (u[:, ::2, ::2].astype(np.float32) / 255.0 - mean) / std,
+        jnp.bfloat16) for u in imgs[:2]]
+    stats = calibrate_channelwise(model, variables, calib)
+    pkg = build_int8_package(
+        variables, stats, eps=cfg.bn_eps, image_mean=mean, image_std=std,
+        decoder="int8" if args.int8_decoder else "bf16")
+    infer, run_pkg = make_int8_through_infer(model, variables, pkg)
+    run_pkg = jax.device_put(run_pkg)
+
+    def make_input(seed):
+        return prepare_s2d_input_u8(imgs[seed % len(imgs)], image_mean=mean)
+
+    return (lambda p, xs: infer(p, xs)), run_pkg, make_input
+
+
 def measure_profiler(infer, variables, make_input, k=8):
     import jax
 
@@ -105,10 +178,16 @@ def measure_profiler(infer, variables, make_input, k=8):
 
 
 def measure_chain(infer_parts, args):
+    """Conservative estimator: args.chain forwards serialized inside one
+    fori_loop with a one-element inter-iteration input perturbation (cannot
+    be elided/cached), best-of-reps wall / chain.  Handles float inputs
+    (additive 1e-8 delta) and integer inputs (xor delta)."""
     import jax
     import jax.numpy as jnp
 
     infer, variables, make_input = infer_parts
+    xs0 = make_input(0)
+    is_float = jnp.issubdtype(jnp.asarray(xs0).dtype, jnp.floating)
     n = args.chain
 
     @jax.jit
@@ -117,67 +196,32 @@ def measure_chain(infer_parts, args):
             xs, acc = carry
             pred = infer(variables, xs)
             acc = acc + pred[0, 0, 0]
-            delta = ((acc % 2).astype(xs.dtype) * 1e-8).reshape(1, 1, 1, 1)
-            xs = jax.lax.dynamic_update_slice(
-                xs, xs[:1, :1, :1, :1] + delta, (0, 0, 0, 0)
-            )
+            if is_float:
+                delta = ((acc % 2).astype(xs.dtype) * 1e-8).reshape(
+                    1, 1, 1, 1)
+                upd = xs[:1, :1, :1, :1] + delta
+            else:
+                delta = (acc % 2).astype(xs.dtype).reshape(1, 1, 1, 1)
+                upd = xs[:1, :1, :1, :1] ^ delta
+            xs = jax.lax.dynamic_update_slice(xs, upd, (0, 0, 0, 0))
             return (xs, acc)
 
-        return jax.lax.fori_loop(0, n, body, (xs + seed, jnp.int32(0)))[1]
+        if is_float:
+            xs = xs + seed
+        else:
+            xs = xs ^ seed.astype(xs.dtype)
+        return jax.lax.fori_loop(0, n, body, (xs, jnp.int32(0)))[1]
 
-    xs = make_input(0)
-    int(chained(variables, xs, 0.0))
+    def seed_val(r):
+        return jnp.float32(1e-4 * r) if is_float else jnp.int32(r)
+
+    int(chained(variables, xs0, seed_val(0)))
     times = []
     for r in range(args.reps):
         t0 = time.perf_counter()
-        int(chained(variables, xs, 1e-4 * (r + 1)))
+        int(chained(variables, xs0, seed_val(r + 1)))
         times.append(time.perf_counter() - t0)
     return min(times) / n * 1000  # ms
-
-
-def _bench_int8(args):
-    """Profiler FPS of the int8-through R18.speed serving graph
-    (deploy/int8_serve.py).  Calibration runs at half size — activation
-    absmax is size-robust and the plain-graph compile is 4x cheaper."""
-    import jax
-    import jax.numpy as jnp
-
-    from torchseg_tpu.deploy.int8_serve import (
-        build_int8_package,
-        calibrate_channelwise,
-        make_int8_through_infer,
-        prepare_s2d_input_u8,
-    )
-    from torchseg_tpu.experiments.registry import build_model, get_experiment
-
-    cfg = get_experiment("cityscapes.bisenet.R18.speed")
-    model = build_model(cfg, axis_name=None, dtype=jnp.bfloat16)
-    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, jnp.zeros((1, 64, 128, 3)), train=True)
-    variables = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        variables,
-    )
-    mean = np.asarray(cfg.image_mean, np.float32)
-    std = np.asarray(cfg.image_std, np.float32)
-    h, w = args.height, args.width
-    rng = np.random.default_rng(0)
-    imgs = [rng.integers(0, 255, (1, h, w, 3)).astype(np.uint8)
-            for _ in range(8)]
-    calib = [jnp.asarray(
-        (u[:, ::2, ::2].astype(np.float32) / 255.0 - mean) / std,
-        jnp.bfloat16) for u in imgs[:2]]
-    stats = calibrate_channelwise(model, variables, calib)
-    pkg = build_int8_package(variables, stats, eps=cfg.bn_eps,
-                             image_mean=mean, image_std=std)
-    infer, run_pkg = make_int8_through_infer(model, variables, pkg)
-    run_pkg = jax.device_put(run_pkg)
-
-    def make_input(seed):
-        return prepare_s2d_input_u8(imgs[seed % len(imgs)], image_mean=mean)
-
-    ms = measure_profiler(lambda p, xs: infer(p, xs), run_pkg, make_input)
-    return 1000.0 / ms
 
 
 def _bench_train(args, k=6):
@@ -252,32 +296,52 @@ def _bench_train(args, k=6):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--chain", type=int, default=150,
+    p.add_argument("--chain", type=int, default=400,
                    help="iterations per chained run; long chains amortize "
-                        "the ~35 ms tunnel dispatch to <0.25 ms/iter")
+                        "the ~35 ms tunnel dispatch to <0.1 ms/iter")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=2048)
-    p.add_argument("--f32", action="store_true")
+    p.add_argument("--f32", action="store_true",
+                   help="bf16-path dtype override (headline int8 path "
+                        "unaffected)")
     p.add_argument("--experiment", default="cityscapes.bisenet.R18.speed",
                    help="any classic/xception-stem BiSeNet speed experiment "
                         "(e.g. cityscapes.bisenet.X39.speed)")
-    p.add_argument("--skip-x39", action="store_true",
-                   help="default runs also capture the X39.speed headline "
-                        "at its 768x1536 protocol; skip that extra bench")
+    p.add_argument("--int8-decoder", action="store_true",
+                   help="headline int8 package also runs the decoder int8 "
+                        "(shipped default bf16 per the round-4 chip A/B)")
+    p.add_argument("--bf16-headline", action="store_true",
+                   help="use the bf16 fused-stem deploy graph as the "
+                        "headline instead of the int8-through artifact")
+    p.add_argument("--skip-extras", action="store_true",
+                   help="headline only: skip the X39 / bf16 / train extras")
     args = p.parse_args()
 
     t_start = time.time()
-    parts = build(args)
-    err = None
+    out = {}
+
+    # --- headline: int8-through serving artifact (fallback: bf16 deploy)
+    parts = None
+    if not args.bf16_headline:
+        try:
+            parts = build_int8(args)
+            out["path"] = "int8-through"
+        except Exception as e:
+            out["int8_build_error"] = f"{type(e).__name__}: {e}"
+    if parts is None:
+        parts = build(args)
+        out["path"] = "bf16-fused-stem"
+
+    ms = err = None
     try:
         ms = measure_profiler(*parts)
     except Exception as e:
-        ms, err = None, e
+        err = e
+    chain_ms = None
     try:
         chain_ms = measure_chain(parts, args)
     except Exception as chain_exc:
-        chain_ms = None
         if err is not None:
             # both estimators failed: surface the primary (profiler)
             # failure as the root cause, chained to the fallback's
@@ -285,61 +349,64 @@ def main():
     primary = ms if ms is not None else chain_ms
     fps = 1000.0 / primary
     tag = args.experiment.split(".")[-2].lower()  # R18 / X39
-    out = {
+    out.update({
         "metric": f"bisenet_{tag}_{args.height}x{args.width}_fps_per_chip",
         "value": round(fps, 2),
         "unit": "FPS",
         "vs_baseline": round(fps / 200.0, 3),
-    }
+    })
     if ms is not None and chain_ms is not None:
         # secondary, conservative estimator: wall time of a serialized
-        # chained loop (includes carry updates + loop overhead)
+        # chained loop (includes carry updates + amortized dispatch)
         out["chained_fps"] = round(1000.0 / chain_ms, 2)
 
-    if (args.experiment == "cityscapes.bisenet.R18.speed"
-            and time.time() - t_start <= 300):
-        # int8-through serving (deploy/int8_serve.py): the current best
-        # single-chip number (217 vs 211 FPS bf16 measured round 3).
-        # Best-effort like the X39 extra: needs two more compiles
-        # (calibration fwd at half size + the int8 graph), so only when
-        # the warm-cache budget allows.
-        try:
-            out["int8_fps"] = round(_bench_int8(args), 2)
-        except Exception as e:
-            out["int8_error"] = f"{type(e).__name__}: {e}"
+    extras = (args.experiment == "cityscapes.bisenet.R18.speed"
+              and not args.skip_extras)
 
-    if (args.experiment == "cityscapes.bisenet.R18.speed"
-            and time.time() - t_start <= 330):
-        # training-throughput headline (DESIGN.md: bs2 @ 1024² bf16 full
-        # train step).  Best-effort, like the other extras: one more
-        # compile, only when the budget allows.
-        try:
-            tms = _bench_train(args)
-            out["train_ms_per_step"] = round(tms, 2)
-            out["train_img_per_s_chip"] = round(2 * 1000.0 / tms, 1)
-        except Exception as e:
-            out["train_error"] = f"{type(e).__name__}: {e}"
+    # --- extras, priority order, each gated on remaining budget.  With the
+    # repo-local compile cache warm these are seconds each; the gates only
+    # bite on a cold cache or a degraded tunnel.
+    def budget_left(gate):
+        return time.time() - t_start <= gate
 
-    if (args.experiment == "cityscapes.bisenet.R18.speed"
-            and not args.skip_x39):
-        # driver-visible X39 headline at its own protocol (reference
+    if extras:
+        # X39 headline at its own protocol (reference
         # model/bisenet/cityscapes.bisenet.X39.speed/eval.py): 768x1536,
-        # fused-stem deploy serving.  Strictly best-effort: if the R18 pass
-        # already burned most of the budget (cold compile cache or slow
-        # tunnel), skip rather than risk the whole bench timing out.
-        if time.time() - t_start > 300:
-            out["x39_skipped"] = (
-                f"R18 pass took {time.time() - t_start:.0f}s; skipping the "
-                "extra compile to stay inside the bench budget"
-            )
-        else:
+        # int8-through serving.
+        if budget_left(480):
             try:
-                x39 = build(args, experiment="cityscapes.bisenet.X39.speed",
-                            height=768, width=1536)
-                x39_ms = measure_profiler(*x39)
-                out["x39_768x1536_fps"] = round(1000.0 / x39_ms, 2)
+                x39 = build_int8(args,
+                                 experiment="cityscapes.bisenet.X39.speed",
+                                 height=768, width=1536)
+                out["x39_768x1536_fps"] = round(
+                    1000.0 / measure_profiler(*x39), 2)
             except Exception as e:
                 out["x39_error"] = f"{type(e).__name__}: {e}"
+        else:
+            out["x39_skipped"] = (
+                f"headline pass took {time.time() - t_start:.0f}s; "
+                "skipping to stay inside the bench budget"
+            )
+
+        # bf16 fused-stem deploy sibling of the headline (the round-3
+        # headline path), for continuity across rounds.
+        if out.get("path") == "int8-through" and budget_left(600):
+            try:
+                out["bf16_fps"] = round(
+                    1000.0 / measure_profiler(*build(args)), 2)
+            except Exception as e:
+                out["bf16_error"] = f"{type(e).__name__}: {e}"
+
+        # training-throughput headline (DESIGN.md: bs2 @ 1024² bf16 full
+        # train step).
+        if budget_left(700):
+            try:
+                tms = _bench_train(args)
+                out["train_ms_per_step"] = round(tms, 2)
+                out["train_img_per_s_chip"] = round(2 * 1000.0 / tms, 1)
+            except Exception as e:
+                out["train_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps(out))
 
 

@@ -186,13 +186,9 @@ def evaluate_checkpoint(cfg, variables, dataset, save_path=None, msf=False,
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    try:  # persistent XLA compile cache (repeat runs skip the ~1 min compile)
-        import jax as _jax
+    from .utils.misc import enable_compile_cache
 
-        _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    enable_compile_cache()  # repeat runs skip the ~1 min compile
     cfg = get_experiment(args.experiment)
     if args.sp > 1 and cfg.eval_mode != "whole":
         raise SystemExit(

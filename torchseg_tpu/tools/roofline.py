@@ -58,6 +58,17 @@ def main(argv=None):
     p.add_argument("--measured-ms", type=float, default=None,
                    help="measured device time to compare against the "
                         "roofline bound")
+    p.add_argument("--deploy", action="store_true",
+                   help="analyze the bf16 fused-stem SERVING graph "
+                        "(s2d input + argmax epilogue, deploy/fused_stem) "
+                        "— the graph bench.py's bf16 number measures — "
+                        "instead of the plain forward")
+    p.add_argument("--int8-through", action="store_true",
+                   help="analyze the int8-through serving graph "
+                        "(deploy/int8_serve) — bench.py's headline.  "
+                        "NOTE: pass --peak-tflops 394 for the int8 MXU "
+                        "bound; the bf16 decoder tail means the true "
+                        "compute bound sits between 197 and 394")
     args = p.parse_args(argv)
 
     import jax
@@ -118,16 +129,56 @@ def main(argv=None):
             shape = tuple(int(s) for s in args.input_size.split("x"))
         else:
             shape = (1, cfg.image_height, cfg.image_width, 3)
-        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
         variables = model.init(
             {"params": jax.random.PRNGKey(0),
-             "dropout": jax.random.PRNGKey(1)}, x, train=True)
-
-        def fwd(variables, x):
-            return model.apply(variables, x, train=False)
-
-        lowered = jax.jit(fwd).lower(variables, x)
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 64, 128, 3)), train=True)
+        if dtype is not None:
+            variables = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, variables)
+        b, h, w, _ = shape
         what = f"forward @{'x'.join(map(str, shape))}"
+
+        if args.int8_through:
+            from ..deploy.int8_serve import (
+                build_int8_serving_for_experiment,
+            )
+
+            infer, run_pkg, prepare, _ = build_int8_serving_for_experiment(
+                cfg, model, variables,
+                calib_images=[rng.integers(0, 255, (b, h // 2, w // 2, 3))
+                              .astype(np.uint8) for _ in range(2)])
+            xs = prepare(rng.integers(0, 255, shape).astype(np.uint8))
+            lowered = jax.jit(infer).lower(run_pkg, xs)
+            what += " [int8-through serving]"
+        elif args.deploy:
+            from ..deploy.fused_stem import (
+                _fused_stem_s2d,
+                prepare_s2d_input,
+            )
+
+            def fwd(variables, xs):
+                stems = _fused_stem_s2d(variables, xs, cfg.bn_eps)
+                dummy = jnp.zeros((b, h, w, 3), xs.dtype)
+                scores = model.apply(variables, dummy, train=False,
+                                     stem_outs=stems)
+                return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+            xs = prepare_s2d_input(
+                rng.normal(size=shape).astype(np.float32),
+                dtype=dtype or jnp.float32)
+            lowered = jax.jit(fwd).lower(variables, xs)
+            what += " [bf16 fused-stem serving]"
+        else:
+            x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+            if dtype is not None:
+                x = x.astype(dtype)
+
+            def fwd(variables, x):
+                return model.apply(variables, x, train=False)
+
+            lowered = jax.jit(fwd).lower(variables, x)
 
     flops, bytes_acc = _cost(lowered.compile())
     sol_c = flops / (args.peak_tflops * 1e12) * 1e3

@@ -53,11 +53,9 @@ def main(argv=None):
 
     import jax
 
-    try:  # persistent XLA compile cache (repeat runs skip the compile)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from ..utils.misc import enable_compile_cache
+
+    enable_compile_cache()  # repeat runs skip the compile
     import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -39,3 +39,25 @@ def extant_file(path: str) -> str:
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     return path
+
+
+def enable_compile_cache(min_secs: int = 2):
+    """Point XLA's persistent compile cache at the repo-local .jax_ccache/
+    (shared by the test suite, the CLIs, and /bench.py — a cache warmed by
+    any session run makes every later run's compiles ~free).  Falls back
+    to /tmp when the package is installed somewhere read-only."""
+    import jax
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cache = os.path.join(repo, ".jax_ccache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:
+        cache = "/tmp/jax_ccache"
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_secs)
+    except Exception:
+        pass
