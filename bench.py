@@ -137,9 +137,11 @@ def build_int8(args, experiment=None, height=None, width=None):
         (u[:, ::2, ::2].astype(np.float32) / 255.0 - mean) / std,
         jnp.bfloat16) for u in imgs[:2]]
     stats = calibrate_channelwise(model, variables, calib)
+    # decoder default int8: round-4 chip A/B (docs/DESIGN.md) — int8
+    # ARM/refine/FFM/head beat bf16 on both classic-stem models
     pkg = build_int8_package(
         variables, stats, eps=cfg.bn_eps, image_mean=mean, image_std=std,
-        decoder="int8" if args.int8_decoder else "bf16")
+        decoder="bf16" if args.bf16_decoder else "int8")
     infer, run_pkg = make_int8_through_infer(model, variables, pkg)
     run_pkg = jax.device_put(run_pkg)
 
@@ -308,9 +310,10 @@ def main():
     p.add_argument("--experiment", default="cityscapes.bisenet.R18.speed",
                    help="any classic/xception-stem BiSeNet speed experiment "
                         "(e.g. cityscapes.bisenet.X39.speed)")
-    p.add_argument("--int8-decoder", action="store_true",
-                   help="headline int8 package also runs the decoder int8 "
-                        "(shipped default bf16 per the round-4 chip A/B)")
+    p.add_argument("--bf16-decoder", action="store_true",
+                   help="headline int8 package keeps the decoder bf16 "
+                        "(A/B arm; shipped default is the int8 decoder "
+                        "per the round-4 chip A/B)")
     p.add_argument("--bf16-headline", action="store_true",
                    help="use the bf16 fused-stem deploy graph as the "
                         "headline instead of the int8-through artifact")
@@ -371,15 +374,17 @@ def main():
 
     if extras:
         # X39 headline at its own protocol (reference
-        # model/bisenet/cityscapes.bisenet.X39.speed/eval.py): 768x1536,
-        # int8-through serving.
+        # model/bisenet/cityscapes.bisenet.X39.speed/eval.py): 768x1536.
+        # bf16 fused-stem deploy — measured FASTER than int8-through for
+        # X39 (1.75 vs 1.94 ms device: depthwise convs gain nothing from
+        # int8 and the per-channel requants add work, docs/DESIGN.md).
         if budget_left(480):
             try:
-                x39 = build_int8(args,
-                                 experiment="cityscapes.bisenet.X39.speed",
-                                 height=768, width=1536)
+                x39 = build(args, experiment="cityscapes.bisenet.X39.speed",
+                            height=768, width=1536)
                 out["x39_768x1536_fps"] = round(
                     1000.0 / measure_profiler(*x39), 2)
+                out["x39_path"] = "bf16-fused-stem"
             except Exception as e:
                 out["x39_error"] = f"{type(e).__name__}: {e}"
         else:

@@ -213,7 +213,8 @@ def test_int8_through_artifact_uint8_contract(tmp_path):
     assert os.path.exists(os.path.join(out, "prepare.bin"))
     with open(os.path.join(out, META_FILE)) as f:
         meta = json.load(f)
-    assert meta["serve_mode"] == "int8-through"
+    # auto decoder resolves to int8 on classic-stem R18 (round-4 chip A/B)
+    assert meta["serve_mode"] == "int8-through+dec"
     assert meta["has_prepare"] is True
     assert meta["input_dtype"] == "uint8"
 

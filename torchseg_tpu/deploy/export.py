@@ -220,9 +220,15 @@ def main(argv=None):
                         "(deploy/int8_serve.py) plus its uint8 prepare "
                         "graph — the artifact contract stays uint8 in, "
                         "labels out")
-    p.add_argument("--int8-decoder", action="store_true",
-                   help="with --int8-through on classic-stem BiSeNet: "
-                        "int8 decoder too")
+    p.add_argument("--int8-decoder", dest="int8_decoder",
+                   action="store_true", default=None,
+                   help="with --int8-through: force the int8 decoder "
+                        "(classic-stem BiSeNet only). Default: auto per "
+                        "the round-4 chip A/B — int8 on classic-stem, "
+                        "bf16 elsewhere (docs/DESIGN.md)")
+    p.add_argument("--bf16-decoder", dest="int8_decoder",
+                   action="store_false",
+                   help="with --int8-through: force the bf16 decoder")
     p.add_argument("--calib-size", default="1x256x512x3",
                    help="--int8-through random-calibration image size "
                         "(production: calibrate on val crops)")
@@ -290,7 +296,8 @@ def main(argv=None):
             infer, run_pkg, prepare, prep = (
                 build_int8_serving_for_experiment(
                     cfg, model, variables,
-                    decoder="int8" if args.int8_decoder else "bf16",
+                    decoder=(None if args.int8_decoder is None else
+                             "int8" if args.int8_decoder else "bf16"),
                     calib_shape=calib_shape,
                 )
             )
@@ -307,7 +314,11 @@ def main(argv=None):
             (jax.ShapeDtypeStruct(shape, jnp.uint8),),
             platforms=platforms,
         )
-        mode = "int8-through+dec" if args.int8_decoder else "int8-through"
+        # auto decoder (None) resolves to int8 exactly on classic-stem
+        # packages, which are the s2d-input ones
+        dec_int8 = (args.int8_decoder if args.int8_decoder is not None
+                    else prep.get("format") == "s2d")
+        mode = "int8-through+dec" if dec_int8 else "int8-through"
     else:
         fn = build_serving_fn(
             model, variables, image_mean=cfg.image_mean,

@@ -1130,7 +1130,7 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
 
 
 def build_int8_serving_for_experiment(cfg, model, variables, *,
-                                      decoder: str = "bf16",
+                                      decoder: str = None,
                                       calib_images=None,
                                       calib_shape=(1, 256, 512, 3),
                                       seed: int = 0):
@@ -1142,8 +1142,12 @@ def build_int8_serving_for_experiment(cfg, model, variables, *,
     calib_images: list of uint8 NHWC arrays for activation calibration
     (None → 2 random images of ``calib_shape``; production serving
     calibrates on val crops — see docs/DESIGN.md "int8-THROUGH").
-    decoder="int8": classic-stem BiSeNet only — ARM/refine/FFM/head
-    int8 too.
+    decoder: None (default) auto-picks per the round-4 chip A/B
+    (docs/DESIGN.md "int8 decoder chip A/B"): "int8" for classic-stem
+    BiSeNet (R18/X39 — int8 ARM/refine/FFM/head measured faster than
+    bf16 on both, 4.905 vs 4.923 ms and 2.033 vs 2.060 ms chained),
+    "bf16" for every other family.  Pass "int8"/"bf16" to force;
+    "int8" is classic-stem BiSeNet only.
 
     Returns ``(infer, run_pkg, prepare, prep)``:
         infer(run_pkg, xs)  jitted serving fn (argmax labels)
@@ -1159,6 +1163,8 @@ def build_int8_serving_for_experiment(cfg, model, variables, *,
         cfg.model == "bisenet_r101"
         or cfg.model.startswith(("pspnet", "psanet", "dfn", "fcn"))
     )
+    if decoder is None:
+        decoder = "int8" if classic_stem else "bf16"
     if decoder == "int8" and not classic_stem:
         raise ValueError(
             "decoder='int8' only applies to the classic-stem BiSeNet "

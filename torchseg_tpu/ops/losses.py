@@ -234,8 +234,12 @@ def _ohem_tail(gt_logp, valid, safe_labels, n, thresh, min_kept,
 # train_speed --fused-loss / --no-fused-loss set the forced arms.
 FUSED_UPSAMPLE_LOSS = None
 
-# Model-name prefixes where the fused path measured FASTER on v5e
-# (chip A/B, round 4 — docs/DESIGN.md "fused upsample+loss" table).
+# Model-name prefixes where the fused path measured FASTER on v5e.
+# Round-4 chip A/B (docs/DESIGN.md "Fused upsample+loss chip A/B"):
+# the fused path LOST or washed on every family (XLA already fuses the
+# materialized upsample->log_softmax->select chain; the row-tiled
+# lax.map adds loop overhead + backward recompute), so the default set
+# is EMPTY and the fused path is reachable only via the forced A/B arms.
 FUSED_UPSAMPLE_LOSS_MODELS: tuple = ()
 
 

@@ -78,10 +78,16 @@ def main(argv=None):
                         "uint8 s2d input, int8 activations end-to-end "
                         "through stems+spatial+backbone, bf16 decoder. "
                         "covers the whole zoo (all BiSeNet/PSPNet/PSANet/DFN/FCN).")
-    p.add_argument("--int8-decoder", action="store_true",
-                   help="with --int8-through on classic-stem BiSeNet: also "
-                        "run the ARM/refine/FFM/head decoder int8 "
-                        "(build_int8_package(decoder='int8'))")
+    p.add_argument("--int8-decoder", dest="int8_decoder",
+                   action="store_true", default=None,
+                   help="with --int8-through: force the ARM/refine/FFM/"
+                        "head decoder int8 (classic-stem BiSeNet only). "
+                        "Default: auto per the round-4 chip A/B (int8 on "
+                        "classic-stem, bf16 elsewhere — docs/DESIGN.md)")
+    p.add_argument("--bf16-decoder", dest="int8_decoder",
+                   action="store_false",
+                   help="with --int8-through: force the bf16 decoder "
+                        "(the pre-round-4 default; A/B arm)")
     args = p.parse_args(argv)
 
     import jax
@@ -127,10 +133,10 @@ def main(argv=None):
         imgs = [rng.integers(0, 255, shape).astype(np.uint8)
                 for _ in range(2)]
         try:
+            decoder = (None if args.int8_decoder is None
+                       else ("int8" if args.int8_decoder else "bf16"))
             infer, run_pkg, prepare, _ = build_int8_serving_for_experiment(
-                cfg, model, variables,
-                decoder="int8" if args.int8_decoder else "bf16",
-                calib_images=imgs,
+                cfg, model, variables, decoder=decoder, calib_images=imgs,
             )
         except ValueError as e:
             raise SystemExit(f"--int8-through: {e}")
@@ -162,7 +168,9 @@ def main(argv=None):
             times.append(time.perf_counter() - t0)
         dt = min(times) / args.chain
         res = {"ms_per_iter": dt * 1000, "fps": 1.0 / dt}
-        tag = "int8-through+dec" if args.int8_decoder else "int8-through"
+        tag = ("int8-through+dec" if args.int8_decoder
+               else "int8-through(bf16-dec)" if args.int8_decoder is False
+               else "int8-through")
         print(
             f"{args.experiment} [{tag}] @ {args.input_size}: "
             f"{res['ms_per_iter']:.3f} ms/iter, {res['fps']:.1f} FPS"
