@@ -27,11 +27,20 @@ import argparse
 import glob
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
+
+_T0 = time.time()
+
+
+def _mark(stage):
+    """Stage timing to stderr (stdout stays the single JSON line)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {stage}", file=sys.stderr,
+          flush=True)
 
 
 def _enable_cache():
@@ -136,7 +145,9 @@ def build_int8(args, experiment=None, height=None, width=None):
     calib = [jnp.asarray(
         (u[:, ::2, ::2].astype(np.float32) / 255.0 - mean) / std,
         jnp.bfloat16) for u in imgs[:2]]
+    _mark("int8: model init done, calibrating")
     stats = calibrate_channelwise(model, variables, calib)
+    _mark("int8: calibration done, building package")
     # decoder default int8: round-4 chip A/B (docs/DESIGN.md) — int8
     # ARM/refine/FFM/head beat bf16 on both classic-stem models
     pkg = build_int8_package(
@@ -144,6 +155,7 @@ def build_int8(args, experiment=None, height=None, width=None):
         decoder="bf16" if args.bf16_decoder else "int8")
     infer, run_pkg = make_int8_through_infer(model, variables, pkg)
     run_pkg = jax.device_put(run_pkg)
+    _mark("int8: package built")
 
     def make_input(seed):
         return prepare_s2d_input_u8(imgs[seed % len(imgs)], image_mean=mean)
@@ -155,7 +167,9 @@ def measure_profiler(infer, variables, make_input, k=8):
     import jax
 
     xs_list = [make_input(i) for i in range(k)]
+    _mark("profiler: inputs ready, compiling")
     infer(variables, xs_list[0]).block_until_ready()  # compile + warm
+    _mark("profiler: compiled, tracing")
     logdir = "/tmp/bench_trace"
     with jax.profiler.trace(logdir):
         for xs in xs_list:
@@ -217,7 +231,9 @@ def measure_chain(infer_parts, args):
     def seed_val(r):
         return jnp.float32(1e-4 * r) if is_float else jnp.int32(r)
 
+    _mark("chain: compiling")
     int(chained(variables, xs0, seed_val(0)))
+    _mark("chain: compiled, timing")
     times = []
     for r in range(args.reps):
         t0 = time.perf_counter()
@@ -272,7 +288,9 @@ def _bench_train(args, k=6):
                                  momentum=cfg.momentum)
         return params, mut["batch_stats"], mom, loss
 
+    _mark("train: compiling")
     jax.block_until_ready(step(params, stats, mom, imgs[0], lbls, 0))
+    _mark("train: compiled, tracing")
     logdir = "/tmp/bench_trace_train"
     with jax.profiler.trace(logdir):
         for x in imgs:
@@ -378,8 +396,11 @@ def main():
         # bf16 fused-stem deploy — measured FASTER than int8-through for
         # X39 (1.75 vs 1.94 ms device: depthwise convs gain nothing from
         # int8 and the per-channel requants add work, docs/DESIGN.md).
-        if budget_left(480):
+        # TOP-priority extra (round-3 verdict: the artifact must carry an
+        # X39 number), so its deadline sits ABOVE the others'.
+        if budget_left(900):
             try:
+                _mark("extra: X39 build")
                 x39 = build(args, experiment="cityscapes.bisenet.X39.speed",
                             height=768, width=1536)
                 out["x39_768x1536_fps"] = round(
@@ -395,8 +416,9 @@ def main():
 
         # bf16 fused-stem deploy sibling of the headline (the round-3
         # headline path), for continuity across rounds.
-        if out.get("path") == "int8-through" and budget_left(600):
+        if out.get("path") == "int8-through" and budget_left(1000):
             try:
+                _mark("extra: bf16 deploy build")
                 out["bf16_fps"] = round(
                     1000.0 / measure_profiler(*build(args)), 2)
             except Exception as e:
@@ -404,13 +426,14 @@ def main():
 
         # training-throughput headline (DESIGN.md: bs2 @ 1024² bf16 full
         # train step).
-        if budget_left(700):
+        if budget_left(1100):
             try:
                 tms = _bench_train(args)
                 out["train_ms_per_step"] = round(tms, 2)
                 out["train_img_per_s_chip"] = round(2 * 1000.0 / tms, 1)
             except Exception as e:
                 out["train_error"] = f"{type(e).__name__}: {e}"
+    _mark("done")
 
     print(json.dumps(out))
 
