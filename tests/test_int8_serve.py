@@ -67,6 +67,32 @@ def test_int8_through_matches_float_graph():
     assert agree > 0.90, agree
 
 
+@pytest.mark.parametrize("kw", [
+    {"maxpool_via": "bf16"},
+    {"spatial_carry": "bf16"},
+    {"maxpool_via": "bf16", "spatial_carry": "bf16"},
+])
+def test_int8_through_carrier_variants_bit_exact(kw):
+    """The bf16-carried forms store the SAME int8 codes as bf16 (exactly
+    representable; conv accumulates exactly in f32 below 2^24), so the
+    scores must be bit-identical to the s8-carried graph — the variants
+    exist purely to trade XLA s8 layout copies against bandwidth
+    (round-4 chip A/B, docs/DESIGN.md)."""
+    model, variables, img, xf = _setup()
+    stats = calibrate(model, variables, [xf])
+    pkg = build_int8_package(variables, stats,
+                             image_mean=MEAN, image_std=STD,
+                             decoder="int8")
+    xs = prepare_s2d_input_u8(img, image_mean=MEAN)
+    base_infer, base_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax=False)
+    base = np.asarray(base_infer(base_pkg, xs), np.float32)
+    infer, run_pkg = make_int8_through_infer(
+        model, variables, pkg, argmax=False, **kw)
+    got = np.asarray(infer(run_pkg, xs), np.float32)
+    np.testing.assert_array_equal(got, base)
+
+
 def test_int8_through_tiled_argmax_full_res():
     """argmax='tiled' (int8 body + row-tiled full-res epilogue) must equal
     the argmax of the same int8 graph's in-model-upsampled scores — the

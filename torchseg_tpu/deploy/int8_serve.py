@@ -93,13 +93,18 @@ def calibrate_channelwise(model, variables, batches, apply_kwargs=None
     The whole recording forward is jitted (the interceptor contributes
     traced absmax OUTPUTS, not side effects): one compiled dispatch per
     calibration batch instead of one per op — eager op-by-op calibration
-    through the dev tunnel's ~35 ms dispatch took minutes."""
+    through the dev tunnel's ~35 ms dispatch took minutes.  The weights
+    enter the jit as an ARGUMENT, not a closure: constant-embedded
+    weights made XLA constant-fold through the whole capture graph
+    (minutes of compile per calibration geometry, uncacheable across
+    freshly-initialized weight values); as parameters the compile is
+    seconds and the persistent cache key depends only on shapes."""
     from flax import linen as nn
 
     apply_kwargs = dict(apply_kwargs or {})
 
     @jax.jit
-    def run(x):
+    def run(variables, x):
         rec = {}
 
         def interceptor(next_fun, args, kwargs, context):
@@ -117,7 +122,7 @@ def calibrate_channelwise(model, variables, batches, apply_kwargs=None
 
     stats: Dict[str, np.ndarray] = {}
     for x in batches:
-        rec = jax.device_get(run(jnp.asarray(x)))
+        rec = jax.device_get(run(variables, jnp.asarray(x)))
         for path, a in rec.items():
             prev = stats.get(path)
             stats[path] = a if prev is None else np.maximum(prev, a)
@@ -875,6 +880,24 @@ def load_int8_package(path: str) -> dict:
 # ----------------------------------------------------------------------
 
 def _qconv(xq, wq, stride, pad, dilation=1):
+    if xq.dtype == jnp.bfloat16:
+        # bf16-carried int8 conv: the activations are int8 VALUES stored
+        # as bf16 (exactly representable), the products are formed
+        # bf16 x bf16 -> f32 (exact: 8+8 mantissa bits < f32's 24) and
+        # accumulated in f32, exact up to 2^24 — 3x3x512x127x127 = 74M...
+        # per-conv |acc| here is bounded by 3*3*64*127*127 = 9.3M < 2^24
+        # for every spatial-path conv, so the result is BIT-IDENTICAL to
+        # the int32 path.  Why carry bf16 at all: XLA's s8 (4,1)-packed
+        # conv operands force ~1.3 ms of layout copies per serving
+        # forward @1024x2048 (round-4 per-op profile, DESIGN.md); the
+        # bf16 layouts are native.
+        return jax.lax.conv_general_dilated(
+            xq, wq.astype(jnp.bfloat16), (stride, stride),
+            [(pad, pad)] * 2,
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
     return jax.lax.conv_general_dilated(
         xq, wq, (stride, stride), [(pad, pad)] * 2,
         rhs_dilation=(dilation, dilation),
@@ -883,14 +906,15 @@ def _qconv(xq, wq, stride, pad, dilation=1):
     )
 
 
-def _requant(z):
-    return jnp.clip(jnp.round(z), -127, 127).astype(jnp.int8)
+def _requant(z, carry=jnp.int8):
+    return jnp.clip(jnp.round(z), -127, 127).astype(carry)
 
 
-def _apply_cbr(xq, e, stride, pad, emit_int8=True, dilation=1):
+def _apply_cbr(xq, e, stride, pad, emit_int8=True, dilation=1,
+               carry=jnp.int8):
     y = _qconv(xq, e["w"], stride, pad, dilation).astype(jnp.float32)
     z = jnp.maximum(y * e["m"] + e["c"], 0.0)
-    return _requant(z) if emit_int8 else z
+    return _requant(z, carry) if emit_int8 else z
 
 
 def _apply_block(xq, e, stride, emit_int8=True):
@@ -945,10 +969,24 @@ def _apply_xblock(xq, e, stride, emit_int8=True):
                       extra=short)
 
 
-def _maxpool_i8(xq):
+def _maxpool_i8(xq, via: str = "s8"):
     """3x3/2 pad-1 maxpool directly on int8 — exact (max commutes with the
     monotone quantization; identity element -128 never wins over the >=0
-    post-ReLU codes)."""
+    post-ReLU codes).
+
+    via="bf16" computes the same max over the bf16 image of the codes —
+    bit-exact (every int8 value is exactly representable in bf16 and max
+    is order-independent), offered because the s8 reduce-window measured
+    8x off the bandwidth bound on chip (0.40 ms for 42 MB of traffic,
+    round-4 per-op profile) while bf16 reduce-window in the bf16 deploy
+    graph runs at speed."""
+    if via == "bf16":
+        y = jax.lax.reduce_window(
+            xq.astype(jnp.bfloat16), jnp.bfloat16(-128), jax.lax.max,
+            (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (0, 0)],
+        )
+        return y.astype(xq.dtype)
     return jax.lax.reduce_window(
         xq, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)],
@@ -1010,7 +1048,9 @@ def _apply_int8_decoder(dec, spatial_q, c16q, c32q):
 
 
 def make_int8_through_infer(model, variables, pkg, *, argmax=True,
-                            dtype=jnp.bfloat16, stem_mode: str = "bf16"):
+                            dtype=jnp.bfloat16, stem_mode: str = "bf16",
+                            maxpool_via: str = "s8",
+                            spatial_carry: str = "s8"):
     """Build the jitted int8-through serving function.
 
     Returns ``(infer, run_pkg)``: call ``infer(run_pkg, xs_i8)`` with the
@@ -1028,7 +1068,13 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
     If ``pkg`` was built with ``decoder="int8"`` (it carries a "dec"
     entry), the ARM/refine/FFM/head decoder also runs int8-through
     (``_apply_int8_decoder``) instead of the flax bf16 decoder — the
-    whole graph is then int8 from the uint8 input to the class logits."""
+    whole graph is then int8 from the uint8 input to the class logits.
+
+    maxpool_via / spatial_carry: "s8" (store int8) or "bf16" (store the
+    same int8 CODES as bf16) for the backbone maxpool and the
+    spatial-path activations — bit-identical values either way (see
+    ``_qconv``/``_maxpool_i8``); the choice only moves where XLA pays
+    layout-copy vs bandwidth cost.  Chip A/B in docs/DESIGN.md."""
     if argmax == "tiled" and model.head_scales[2] <= 1:
         raise ValueError(
             "argmax='tiled' targets full-res heads (head_scales[2] > 1); "
@@ -1049,33 +1095,48 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
     @jax.jit
     def infer(pkg, xs):
         stem = pkg["stem"]
-        if stem_mode == "bf16":
+        if stem_mode in ("bf16", "bf16-acc"):
             # bf16 stem conv over the same int8 input (cast is free in the
             # conv's input handling); int8 quantization fused into the
             # epilogue.  Chip profile: the 12-ch int8 stem conv is slower
             # than bf16 (1.76 vs 1.2 ms) — int8 starts at the body.
+            # "bf16-acc" emits the conv result in bf16, halving the
+            # 272 MB f32 y round-trip before the requant at the cost of
+            # occasional +-1 code shifts from the bf16 rounding of y.
             y = jax.lax.conv_general_dilated(
                 xs.astype(jnp.bfloat16), stem["wf"], (1, 1),
                 [(0, 0), (0, 0)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=(
+                    jnp.bfloat16 if stem_mode == "bf16-acc"
+                    else jnp.float32),
             )
-            z = jnp.maximum(y * stem["mf"] + stem["cf"], 0.0)
+            z = jnp.maximum(y.astype(jnp.float32) * stem["mf"]
+                            + stem["cf"], 0.0)
         else:
             y = _qconv(xs, stem["w"], 1, 0).astype(jnp.float32)
             z = jnp.maximum(y * stem["m"] + stem["c"], 0.0)
-        q = _requant(z)
-        sp_q, bb_q = q[..., :n_sp], q[..., n_sp:]
+        use_dec = "dec" in pkg
+        if spatial_carry == "bf16":
+            # split BEFORE the requant so each half quantizes straight
+            # into its carrier dtype (one fused pass each, no repack)
+            sp_q = _requant(z[..., :n_sp], jnp.bfloat16)
+            bb_q = _requant(z[..., n_sp:])
+        else:
+            q = _requant(z)
+            sp_q, bb_q = q[..., :n_sp], q[..., n_sp:]
 
         # spatial path (int8 chain; last conv emits float for the flax
         # FFM, int8 at the concat scale for the int8 decoder)
-        use_dec = "dec" in pkg
-        sq = _apply_cbr(sp_q, pkg["sp1"], 2, 1)
-        sq = _apply_cbr(sq, pkg["sp2"], 2, 1)
+        carry = jnp.bfloat16 if spatial_carry == "bf16" else jnp.int8
+        sq = _apply_cbr(sp_q, pkg["sp1"], 2, 1, carry=carry)
+        sq = _apply_cbr(sq, pkg["sp2"], 2, 1, carry=carry)
+        # the decoder concat wants s8 codes; the /8 tensor is small, so
+        # the final requant lands in s8 regardless of the carry
         spatial_out = _apply_cbr(sq, pkg["sp3"], 1, 0, emit_int8=use_dec)
 
         # backbone body
-        x = _maxpool_i8(bb_q)
+        x = _maxpool_i8(bb_q, via=maxpool_via)
         feats = []
         apply_block = _apply_block if kind == "r18" else _apply_xblock
         last_stage = stages[-1][0]
