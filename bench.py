@@ -223,7 +223,11 @@ def measure_chain(infer_parts, args):
             return (xs, acc)
 
         if is_float:
-            xs = xs + seed
+            # cast the seed INTO the input dtype: a strongly-typed f32
+            # scalar would promote the whole chain (and every iteration's
+            # carry) to f32, silently measuring an f32 graph on the bf16
+            # path (round-4 advisor finding)
+            xs = xs + seed.astype(xs.dtype)
         else:
             xs = xs ^ seed.astype(xs.dtype)
         return jax.lax.fori_loop(0, n, body, (xs, jnp.int32(0)))[1]
@@ -384,11 +388,17 @@ def main():
     extras = (args.experiment == "cityscapes.bisenet.R18.speed"
               and not args.skip_extras)
 
-    # --- extras, priority order, each gated on remaining budget.  With the
-    # repo-local compile cache warm these are seconds each; the gates only
-    # bite on a cold cache or a degraded tunnel.
-    def budget_left(gate):
-        return time.time() - t_start <= gate
+    # --- extras, strict priority order against ONE shared deadline: if a
+    # higher-priority extra is skipped for budget, everything below it is
+    # skipped too (no priority inversion).  With the repo-local compile
+    # cache warm these are seconds each; the deadline only bites on a cold
+    # cache or a degraded tunnel.
+    deadline = t_start + 1100
+    budget_dead = [False]
+
+    def budget_left(_gate=None):
+        budget_dead[0] = budget_dead[0] or time.time() > deadline
+        return not budget_dead[0]
 
     if extras:
         # X39 headline at its own protocol (reference
@@ -397,14 +407,19 @@ def main():
         # X39 (1.75 vs 1.94 ms device: depthwise convs gain nothing from
         # int8 and the per-channel requants add work, docs/DESIGN.md).
         # TOP-priority extra (round-3 verdict: the artifact must carry an
-        # X39 number), so its deadline sits ABOVE the others'.
-        if budget_left(900):
+        # X39 number), so it is checked FIRST.
+        if budget_left():
             try:
                 _mark("extra: X39 build")
                 x39 = build(args, experiment="cityscapes.bisenet.X39.speed",
                             height=768, width=1536)
                 out["x39_768x1536_fps"] = round(
                     1000.0 / measure_profiler(*x39), 2)
+                # both estimators, like the headline: the X39 estimator
+                # spread is the widest in the zoo (~17%), so the artifact
+                # carries the conservative chained number too
+                out["x39_chained_fps"] = round(
+                    1000.0 / measure_chain(x39, args), 2)
                 out["x39_path"] = "bf16-fused-stem"
             except Exception as e:
                 out["x39_error"] = f"{type(e).__name__}: {e}"
@@ -416,7 +431,7 @@ def main():
 
         # bf16 fused-stem deploy sibling of the headline (the round-3
         # headline path), for continuity across rounds.
-        if out.get("path") == "int8-through" and budget_left(1000):
+        if out.get("path") == "int8-through" and budget_left():
             try:
                 _mark("extra: bf16 deploy build")
                 out["bf16_fps"] = round(
@@ -426,7 +441,7 @@ def main():
 
         # training-throughput headline (DESIGN.md: bs2 @ 1024² bf16 full
         # train step).
-        if budget_left(1100):
+        if budget_left():
             try:
                 tms = _bench_train(args)
                 out["train_ms_per_step"] = round(tms, 2)

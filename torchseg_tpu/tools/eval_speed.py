@@ -79,6 +79,13 @@ def main(argv=None):
                         shard_crops=args.shard_crops,
                         spatial_shards=args.sp)
     mode = args.mode or cfg.eval_mode
+    if args.sp > 1 and mode != "whole":
+        # mirror eval.py:193's guard — spatial shards only support the
+        # whole protocol; failing here beats failing deep in run_dataset
+        raise SystemExit(
+            f"--sp {args.sp} requires the whole protocol (effective mode "
+            f"is '{mode}'); pass --mode whole or drop --sp"
+        )
     kw = dict(mode=mode, gt_down_sampling=cfg.eval_gt_down_sampling,
               resize_to=cfg.eval_resize_to)
 

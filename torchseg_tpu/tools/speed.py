@@ -135,9 +135,11 @@ def main(argv=None):
         try:
             decoder = (None if args.int8_decoder is None
                        else ("int8" if args.int8_decoder else "bf16"))
-            infer, run_pkg, prepare, _ = build_int8_serving_for_experiment(
-                cfg, model, variables, decoder=decoder, calib_images=imgs,
-            )
+            infer, run_pkg, prepare, prep = \
+                build_int8_serving_for_experiment(
+                    cfg, model, variables, decoder=decoder,
+                    calib_images=imgs,
+                )
         except ValueError as e:
             raise SystemExit(f"--int8-through: {e}")
         xs = prepare(imgs[0])
@@ -168,9 +170,13 @@ def main(argv=None):
             times.append(time.perf_counter() - t0)
         dt = min(times) / args.chain
         res = {"ms_per_iter": dt * 1000, "fps": 1.0 / dt}
-        tag = ("int8-through+dec" if args.int8_decoder
-               else "int8-through(bf16-dec)" if args.int8_decoder is False
-               else "int8-through")
+        # resolve the EFFECTIVE decoder (the auto default lands on int8
+        # for classic-stem, i.e. the s2d prep — same resolution as
+        # deploy/export.py) so printed tags name the graph actually run
+        eff_int8_dec = (args.int8_decoder if args.int8_decoder is not None
+                        else prep["format"] == "s2d")
+        tag = ("int8-through+dec" if eff_int8_dec
+               else "int8-through(bf16-dec)")
         print(
             f"{args.experiment} [{tag}] @ {args.input_size}: "
             f"{res['ms_per_iter']:.3f} ms/iter, {res['fps']:.1f} FPS"

@@ -44,13 +44,25 @@ def extant_file(path: str) -> str:
 def enable_compile_cache(min_secs: int = 2):
     """Point XLA's persistent compile cache at the repo-local .jax_ccache/
     (shared by the test suite, the CLIs, and /bench.py — a cache warmed by
-    any session run makes every later run's compiles ~free).  Falls back
-    to /tmp when the package is installed somewhere read-only."""
+    any session run makes every later run's compiles ~free).
+
+    Resolution order: $JAX_COMPILATION_CACHE_DIR (explicit override) >
+    repo-local .jax_ccache (source checkouts only — pip installs must not
+    litter site-packages) > ~/.cache/torchseg_tpu/jax_ccache; any OSError
+    falls through to /tmp."""
     import jax
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    cache = os.path.join(repo, ".jax_ccache")
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        if (os.path.exists(os.path.join(repo, "pyproject.toml"))
+                or os.path.exists(os.path.join(repo, ".git"))):
+            cache = os.path.join(repo, ".jax_ccache")
+        else:
+            cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "torchseg_tpu",
+                "jax_ccache")
     try:
         os.makedirs(cache, exist_ok=True)
     except OSError:
