@@ -283,7 +283,10 @@ def test_speed_cli_int8_through(capsys):
                       "--input-size", "1x64x128x3",
                       "--chain", "1", "--reps", "1", "--int8-through"])
     assert res["fps"] > 0
-    assert "[int8-through]" in capsys.readouterr().out
+    # the auto decoder default resolves to the int8 decoder on
+    # classic-stem BiSeNet, and the printed tag reflects the EFFECTIVE
+    # decoder (round-4 advisor fix in tools/speed.py)
+    assert "[int8-through+dec]" in capsys.readouterr().out
     res = speed_main(["-e", "cityscapes.bisenet.X39.speed",
                       "--input-size", "1x64x128x3",
                       "--chain", "1", "--reps", "1", "--int8-through"])

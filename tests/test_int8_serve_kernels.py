@@ -1,0 +1,136 @@
+"""Parity tests (Pallas interpret mode on CPU) for the int8-through
+serving kernels: fused s2d stem conv (+ vertical/horizontal maxpool) and
+the quad-view 3x3/2 conv, each against the plain-XLA int8 path they
+replace (deploy/int8_serve's bf16 stem + _requant + reduce-window and
+_qconv + _requant).  Chip-exactness (same comparisons at serving size on
+real TPU) is rechecked by scripts/ and the round-5 DESIGN.md table."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from torchseg_tpu.deploy.int8_serve import _maxpool_i8, _qconv, _requant
+from torchseg_tpu.ops.pallas.int8_serve_kernels import (
+    conv3x3s2_i8_quad,
+    maxpool2d_3x3s2_i8,
+    pack_conv3x3_weights,
+    s2d_stem_conv_i8,
+    s2d_stem_pool_i8,
+    spatial_path_i8,
+    spatial_path_shapes_ok,
+    stem_pool_shapes_ok,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _stem_case(h2=32, w2=64, cin=12, cout=128, seed=0):
+    rng = np.random.default_rng(seed)
+    xs = jnp.asarray(rng.integers(-128, 128, (1, h2 + 3, w2 + 3, cin)),
+                     jnp.int8)
+    wf = jnp.asarray(rng.normal(size=(4, 4, cin, cout)) * 0.05,
+                     jnp.bfloat16)
+    m = jnp.asarray(rng.uniform(0.004, 0.02, (cout,)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(cout,)) * 2.0, jnp.float32)
+    return xs, wf, m, c
+
+
+def _stem_ref(xs, wf, m, c, n_sp):
+    """The XLA bf16-stem path (make_int8_through_infer stem_mode='bf16')."""
+    y = jax.lax.conv_general_dilated(
+        xs.astype(jnp.bfloat16), wf, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    q = _requant(jnp.maximum(y * m + c, 0.0))
+    return q[..., :n_sp], q[..., n_sp:]
+
+
+def test_stem_conv_matches_xla_split():
+    xs, wf, m, c = _stem_case()
+    rsp, rbb = _stem_ref(xs, wf, m, c, 64)
+    sp, bb = s2d_stem_conv_i8(xs, wf, m, c, 64)
+    # f32 summation order may flip round-ties by one code on rare pixels
+    assert np.abs(np.asarray(rsp, np.int32) - np.asarray(sp)).max() <= 1
+    assert np.abs(np.asarray(rbb, np.int32) - np.asarray(bb)).max() <= 1
+    assert (np.asarray(rsp) != np.asarray(sp)).mean() < 1e-3
+    assert (np.asarray(rbb) != np.asarray(bb)).mean() < 1e-3
+
+
+def test_stem_pool_matches_xla_stem_plus_maxpool():
+    xs, wf, m, c = _stem_case(seed=1)
+    rsp, rbb = _stem_ref(xs, wf, m, c, 64)
+    rmp = _maxpool_i8(rbb, via="s8")
+    assert stem_pool_shapes_ok(xs.shape, 128, 64)
+    sp, pooled = s2d_stem_pool_i8(xs, wf, m, c, 64)
+    assert np.abs(np.asarray(rsp, np.int32) - np.asarray(sp)).max() <= 1
+    # max absorbs a +-1 tie flip only when that pixel wins the window
+    assert np.abs(np.asarray(rmp, np.int32) - np.asarray(pooled)).max() <= 1
+    assert (np.asarray(rmp) != np.asarray(pooled)).mean() < 1e-3
+
+
+def test_stem_pool_shape_gate():
+    assert stem_pool_shapes_ok((1, 515, 1027, 12), 128, 64)
+    assert not stem_pool_shapes_ok((1, 516, 1027, 12), 128, 64)  # h2=513
+    assert not stem_pool_shapes_ok((1, 515, 1027, 12), 128, 32)
+    assert not stem_pool_shapes_ok((2, 515, 1027, 12), 128, 64)
+
+
+def test_maxpool_standalone_bit_exact():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.integers(0, 128, (1, 16, 32, 64)), jnp.int8)
+    ref = _maxpool_i8(x, via="s8")
+    got = maxpool2d_3x3s2_i8(x)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_conv3x3s2_quad_bit_exact_vs_qconv():
+    rng = np.random.default_rng(3)
+    hi, wi = 16, 32
+    x = jnp.asarray(rng.integers(0, 128, (1, hi, wi, 64)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 128, (3, 3, 64, 64)), jnp.int8)
+    m = jnp.asarray(rng.uniform(1e-4, 5e-4, (64,)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(64,)) * 0.5, jnp.float32)
+    ref = _requant(jnp.maximum(
+        _qconv(x, wq, 2, 1).astype(jnp.float32) * m + c, 0.0))
+    wa, wb, wo = pack_conv3x3_weights(wq)
+    got = conv3x3s2_i8_quad(
+        x[0].reshape(hi, wi // 4, 256), wa, wb, wo, m, c, nr=2)
+    got_std = np.asarray(got).reshape(hi // 2, wi // 2, 64)[None]
+    # int8 codes in bf16 are exact; f32 accumulation exact below 2^24:
+    # the kernel must be BIT-identical to the s32 _qconv path
+    np.testing.assert_array_equal(np.asarray(ref), got_std)
+
+
+def test_spatial_path_chain_bit_exact():
+    rng = np.random.default_rng(4)
+    h2, w2 = 16, 32
+    assert spatial_path_shapes_ok(h2, w2)
+    sp = jnp.asarray(rng.integers(0, 128, (1, h2, w2, 64)), jnp.int8)
+    pkgs = []
+    for s in range(2):
+        wq = jnp.asarray(rng.integers(-127, 128, (3, 3, 64, 64)), jnp.int8)
+        m = jnp.asarray(rng.uniform(1e-4, 5e-4, (64,)), jnp.float32)
+        c = jnp.asarray(rng.normal(size=(64,)) * 0.5, jnp.float32)
+        wa, wb, wo = pack_conv3x3_weights(wq)
+        pkgs.append({"w": wq, "m": m, "c": c,
+                     "wa": wa, "wb": wb, "wo": wo})
+    ref = sp
+    for p in pkgs:
+        ref = _requant(jnp.maximum(
+            _qconv(ref, p["w"], 2, 1).astype(jnp.float32) * p["m"]
+            + p["c"], 0.0))
+    got = spatial_path_i8(sp, pkgs[0], pkgs[1])
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_spatial_path_shape_gate():
+    assert spatial_path_shapes_ok(512, 1024)
+    assert spatial_path_shapes_ok(384, 768)
+    assert not spatial_path_shapes_ok(510, 1024)
+    assert not spatial_path_shapes_ok(512, 1020)

@@ -299,6 +299,12 @@ def main(argv=None):
                     decoder=(None if args.int8_decoder is None else
                              "int8" if args.int8_decoder else "bf16"),
                     calib_shape=calib_shape,
+                    # multi-platform artifacts keep the plain-XLA stem:
+                    # the Pallas kernels (round-5 TPU default) have no
+                    # CPU/GPU lowering, so a portable export would fail
+                    # at lowering time
+                    stem_mode=("pallas" if platforms == ["tpu"]
+                               else "bf16"),
                 )
             )
         except ValueError as e:

@@ -974,12 +974,21 @@ def _maxpool_i8(xq, via: str = "s8"):
     monotone quantization; identity element -128 never wins over the >=0
     post-ReLU codes).
 
+    via="pallas" runs the standalone Pallas kernel
+    (ops/pallas/int8_serve_kernels.maxpool2d_3x3s2_i8): bit-exact, but
+    only at parity with the reduce-window standalone (0.40 vs 0.27-0.40
+    ms — the width-pairing input reshape costs an XLA relayout, round-5
+    chip table).  The SHIPPED serving graph instead fuses the pool into
+    the Pallas stem (``s2d_stem_pool_i8``), where the pairing is free;
+    this arm remains for A/Bs and non-stem call sites.
+
     via="bf16" computes the same max over the bf16 image of the codes —
     bit-exact (every int8 value is exactly representable in bf16 and max
-    is order-independent), offered because the s8 reduce-window measured
-    8x off the bandwidth bound on chip (0.40 ms for 42 MB of traffic,
-    round-4 per-op profile) while bf16 reduce-window in the bf16 deploy
-    graph runs at speed."""
+    is order-independent); the round-4 A/B arm."""
+    if via == "pallas":
+        from ..ops.pallas.int8_serve_kernels import maxpool2d_3x3s2_i8
+
+        return maxpool2d_3x3s2_i8(xq)
     if via == "bf16":
         y = jax.lax.reduce_window(
             xq.astype(jnp.bfloat16), jnp.bfloat16(-128), jax.lax.max,
@@ -1048,7 +1057,7 @@ def _apply_int8_decoder(dec, spatial_q, c16q, c32q):
 
 
 def make_int8_through_infer(model, variables, pkg, *, argmax=True,
-                            dtype=jnp.bfloat16, stem_mode: str = "bf16",
+                            dtype=jnp.bfloat16, stem_mode: str = None,
                             maxpool_via: str = "s8",
                             spatial_carry: str = "s8"):
     """Build the jitted int8-through serving function.
@@ -1070,16 +1079,32 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
     (``_apply_int8_decoder``) instead of the flax bf16 decoder — the
     whole graph is then int8 from the uint8 input to the class logits.
 
+    stem_mode: None (default) resolves to "pallas" on a TPU backend and
+    "bf16" elsewhere (the Pallas kernels have no CPU lowering outside
+    interpret mode).  "pallas" (classic-stem only — other kinds degrade
+    to "bf16") runs the stem conv + requant + backbone maxpool
+    + both spatial-path 3x3/2 convs as Pallas kernels
+    (ops/pallas/int8_serve_kernels) — round-5 chip A/B: 4.21 vs 4.60 ms
+    @1024x2048 (docs/DESIGN.md "Pallas int8 stem+spatial path"); the
+    conv kernels are bit-identical to the XLA path, the stem within
+    +-1 code on f32-summation ties.  "bf16"/"bf16-acc"/"s8" are the
+    round-4 XLA arms.
+
     maxpool_via / spatial_carry: "s8" (store int8) or "bf16" (store the
     same int8 CODES as bf16) for the backbone maxpool and the
     spatial-path activations — bit-identical values either way (see
     ``_qconv``/``_maxpool_i8``); the choice only moves where XLA pays
-    layout-copy vs bandwidth cost.  Chip A/B in docs/DESIGN.md."""
+    layout-copy vs bandwidth cost.  Chip A/B in docs/DESIGN.md.
+    (With the default stem_mode="pallas" the maxpool is fused into the
+    stem kernel and the spatial carry is int8; both knobs then only
+    affect the fallback geometries.)"""
     if argmax == "tiled" and model.head_scales[2] <= 1:
         raise ValueError(
             "argmax='tiled' targets full-res heads (head_scales[2] > 1); "
             "the .speed variants already emit /8 logits — use argmax=True"
         )
+    if stem_mode is None:
+        stem_mode = "pallas" if jax.default_backend() == "tpu" else "bf16"
     kind = pkg.get("kind", "r18")
     n_sp = int(pkg["stem"]["n_sp"])
     strides = {name: pkg[name]["stride"]
@@ -1091,11 +1116,51 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
             if isinstance(v, dict) else v)
         for k, v in pkg.items() if k != "kind"
     }
+    if stem_mode == "pallas" and kind == "r18":
+        # pre-pack the spatial-path conv weights for the Pallas quad
+        # kernels (ops/pallas/int8_serve_kernels.conv3x3s2_i8_quad):
+        # exact int8 codes carried in bf16, f32 accumulation — the
+        # kernel is bit-identical to _qconv + _requant (docstring there)
+        from ..ops.pallas.int8_serve_kernels import pack_conv3x3_weights
+
+        for name in ("sp1", "sp2"):
+            wa, wb, wo = pack_conv3x3_weights(pkg[name]["w"])
+            run_pkg[name + "q"] = {
+                "wa": wa, "wb": wb, "wo": wo,
+                "m": pkg[name]["m"], "c": pkg[name]["c"],
+            }
 
     @jax.jit
     def infer(pkg, xs):
         stem = pkg["stem"]
-        if stem_mode in ("bf16", "bf16-acc"):
+        use_dec = "dec" in pkg
+        pooled = None
+        cout_stem = stem["wf"].shape[-1]
+        if stem_mode == "pallas" and kind == "r18":
+            # Pallas fused stem (ops/pallas/int8_serve_kernels): same bf16
+            # weights / f32 accumulation / requant math as the "bf16"
+            # branch below, but conv + requant + the backbone 3x3/2
+            # maxpool in Pallas kernels — XLA ran this region at ~1.8 ms
+            # (conv fusion + (4,1) operand copy + split + s8
+            # reduce-window) vs 1.28 ms for the kernels (round-5 chip
+            # table, docs/DESIGN.md "Pallas int8 stem").  Geometry the
+            # fused kernel rejects (odd crops) degrades per trace-time
+            # shape to the split kernel, then to the XLA stem.
+            from ..ops.pallas.int8_serve_kernels import (
+                s2d_stem_conv_i8,
+                s2d_stem_pool_i8,
+                stem_pool_shapes_ok,
+            )
+
+            if stem_pool_shapes_ok(xs.shape, cout_stem, n_sp):
+                sp_q, pooled = s2d_stem_pool_i8(
+                    xs, stem["wf"], stem["mf"], stem["cf"], n_sp)
+            else:
+                sp_q, bb_q = s2d_stem_conv_i8(
+                    xs, stem["wf"], stem["mf"], stem["cf"], n_sp)
+            if spatial_carry == "bf16":
+                sp_q = sp_q.astype(jnp.bfloat16)
+        elif stem_mode in ("bf16", "bf16-acc", "pallas"):
             # bf16 stem conv over the same int8 input (cast is free in the
             # conv's input handling); int8 quantization fused into the
             # epilogue.  Chip profile: the 12-ch int8 stem conv is slower
@@ -1103,6 +1168,8 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
             # "bf16-acc" emits the conv result in bf16, halving the
             # 272 MB f32 y round-trip before the requant at the cost of
             # occasional +-1 code shifts from the bf16 rounding of y.
+            # ("pallas" lands here too when kind != "r18": the fused
+            # kernels target the classic-stem geometry.)
             y = jax.lax.conv_general_dilated(
                 xs.astype(jnp.bfloat16), stem["wf"], (1, 1),
                 [(0, 0), (0, 0)],
@@ -1116,27 +1183,44 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
         else:
             y = _qconv(xs, stem["w"], 1, 0).astype(jnp.float32)
             z = jnp.maximum(y * stem["m"] + stem["c"], 0.0)
-        use_dec = "dec" in pkg
-        if spatial_carry == "bf16":
-            # split BEFORE the requant so each half quantizes straight
-            # into its carrier dtype (one fused pass each, no repack)
-            sp_q = _requant(z[..., :n_sp], jnp.bfloat16)
-            bb_q = _requant(z[..., n_sp:])
-        else:
-            q = _requant(z)
-            sp_q, bb_q = q[..., :n_sp], q[..., n_sp:]
+        if not (stem_mode == "pallas" and kind == "r18"):
+            if spatial_carry == "bf16":
+                # split BEFORE the requant so each half quantizes straight
+                # into its carrier dtype (one fused pass each, no repack)
+                sp_q = _requant(z[..., :n_sp], jnp.bfloat16)
+                bb_q = _requant(z[..., n_sp:])
+            else:
+                q = _requant(z)
+                sp_q, bb_q = q[..., :n_sp], q[..., n_sp:]
 
         # spatial path (int8 chain; last conv emits float for the flax
         # FFM, int8 at the concat scale for the int8 decoder)
         carry = jnp.bfloat16 if spatial_carry == "bf16" else jnp.int8
-        sq = _apply_cbr(sp_q, pkg["sp1"], 2, 1, carry=carry)
-        sq = _apply_cbr(sq, pkg["sp2"], 2, 1, carry=carry)
+        sp_pallas = False
+        if stem_mode == "pallas" and kind == "r18" \
+                and sp_q.dtype == jnp.int8:
+            from ..ops.pallas.int8_serve_kernels import (
+                spatial_path_i8,
+                spatial_path_shapes_ok,
+            )
+
+            sp_pallas = spatial_path_shapes_ok(*sp_q.shape[1:3])
+        if sp_pallas:
+            # both 3x3/2 CBRs as chained Pallas quad kernels — XLA's s8
+            # convs here cost ~1.3 ms in (4,1)-packed operand copies
+            # (round-4/5 per-op profiles); the kernels are bit-identical
+            # to the _apply_cbr path (exact integer bf16 matmuls)
+            sq = spatial_path_i8(sp_q, pkg["sp1q"], pkg["sp2q"])
+        else:
+            sq = _apply_cbr(sp_q, pkg["sp1"], 2, 1, carry=carry)
+            sq = _apply_cbr(sq, pkg["sp2"], 2, 1, carry=carry)
         # the decoder concat wants s8 codes; the /8 tensor is small, so
         # the final requant lands in s8 regardless of the carry
         spatial_out = _apply_cbr(sq, pkg["sp3"], 1, 0, emit_int8=use_dec)
 
-        # backbone body
-        x = _maxpool_i8(bb_q, via=maxpool_via)
+        # backbone body (the fused Pallas stem already pooled)
+        x = pooled if pooled is not None else _maxpool_i8(
+            bb_q, via=maxpool_via)
         feats = []
         apply_block = _apply_block if kind == "r18" else _apply_xblock
         last_stage = stages[-1][0]
@@ -1194,7 +1278,8 @@ def build_int8_serving_for_experiment(cfg, model, variables, *,
                                       decoder: str = None,
                                       calib_images=None,
                                       calib_shape=(1, 256, 512, 3),
-                                      seed: int = 0):
+                                      seed: int = 0,
+                                      stem_mode: str = None):
     """Assemble the int8-through serving graph for ANY registered
     experiment — the model-family dispatch shared by
     ``torchseg-speed --int8-through`` and ``torchseg-export
@@ -1275,7 +1360,8 @@ def build_int8_serving_for_experiment(cfg, model, variables, *,
             image_mean=cfg.image_mean, image_std=cfg.image_std,
             decoder=decoder,
         )
-        infer, run_pkg = make_int8_through_infer(model, variables, pkg)
+        infer, run_pkg = make_int8_through_infer(model, variables, pkg,
+                                                 stem_mode=stem_mode)
         prep = {"format": "s2d", "pads": [[2, 1], [2, 1]],
                 "image_mean": list(cfg.image_mean)}
         prepare = lambda u8: prepare_s2d_input_u8(  # noqa: E731

@@ -1,0 +1,524 @@
+"""Pallas kernels for the int8-through serving graph's two off-roofline
+regions (deploy/int8_serve.py; round-4 per-op profile, docs/DESIGN.md):
+
+  * the fused s2d stem conv: XLA runs it at ~1.37 ms (0.85 ms conv fusion
+    + 0.32 ms (4,1)-packed s8 operand copy + 0.20 ms channel-split fusion)
+    against a ~0.3 ms compute+bandwidth bound — the packed s8 operand
+    layout and the 12-channel contraction defeat its conv tiling;
+  * the 3x3/2 int8 maxpool that follows it: XLA's s8 reduce-window
+    measures 0.40 ms for ~50 MB of traffic (~8x off the bandwidth bound).
+
+The round-5 chip decomposition (docs/DESIGN.md "Pallas int8 stem") found
+the three real costs, which shape everything here:
+  1. an 8-piece s8 lane-concat in XLA costs 2.27 ms, but the SAME pack as
+     jnp.stack + reshape costs 0.315 ms — the pack stays in XLA, stacked;
+  2. inside Pallas, s8 stores with 64-lane minor dims pay a ~2x masking
+     tax (two 64-ch outputs: 0.80 ms; one fused 128-ch output: 0.45 ms)
+     — so the backbone half is never stored at stem resolution at all:
+     the VERTICAL 3/2 maxpool fuses into the stem kernel (3 rows of
+     requantized codes max-reduced in registers), and only the 2x-smaller
+     vertically-pooled tensor is written;
+  3. the horizontal 3/2 maxpool needs stride-2 column selection, which
+     Mosaic has no strided access for — it runs on the width-paired
+     (h, w/2, 2c) VIEW of the row-major tensor (an XLA reshape), where
+     stride-2 becomes aligned lane halves.
+
+All kernels obey the Mosaic restrictions documented in
+ops/pallas/stem_conv.py (round 1): no unaligned lane-concats, no manual
+DMA, python-unrolled static offsets only.  The stem kernel sidesteps the
+im2col problem entirely: the XLA-side pack puts the 4 dy-rows and the
+even/odd dx-taps into the channel axis, after which the conv is TWO
+aligned K=128 matmuls per row block.  The requant epilogue (y*m+c, ReLU,
+round, clip, int8) runs in f32 inside the kernel — bit-identical to the
+XLA path's ``_requant`` up to f32 summation order (+-1 code on ties).
+
+Maxpool exactness: max commutes with the monotone quantization, the pad
+identity 0 never wins over the >=0 post-ReLU codes, and 3x3/2 max is
+separable into vertical-then-horizontal 3/2 passes.
+
+Reference anchor: the reference's stem is torch's cudnn 7x7/2 conv +
+3x3/2 maxpool (furnace/base_model/resnet.py:106-140, torchvision conv
+stem); this is its TPU int8 serving form.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ----------------------------------------------------------------------
+# weight / input packing (XLA side)
+# ----------------------------------------------------------------------
+
+def pack_stem_weights(wf, n_pad: int = 128):
+    """(4,4,cin,cout) s2d stem kernel -> (2, 128, n_pad) dx-pair matmul
+    weights in the kernel's packed-channel order [dx_in_pair, dy, ch].
+    Works on jnp (in-graph, tiny) or np arrays."""
+    xp = jnp if isinstance(wf, jnp.ndarray) else np
+    kh, kw, cin, cout = wf.shape
+    assert kh == 4 and kw == 4 and cin <= 16 and cout <= n_pad, wf.shape
+    w = xp.pad(wf, ((0, 0), (0, 0), (0, 16 - cin), (0, n_pad - cout)))
+    # (dy,dx,ch,o) -> (dx,dy,ch,o) -> [pair, (dx_in_pair, dy, ch), o]
+    w = w.transpose(1, 0, 2, 3).reshape(2, 2 * 4 * 16, n_pad)
+    return w
+
+
+def pack_stem_input(xs):
+    """(1, h2+3, w2+3, cin<=16) s2d int8 input -> (h2, w2+2, 128) packed
+    tensor with x8[r, c, a*64 + dy*16 + ch] = xs[0, r+dy, c+a, ch].
+
+    jnp.stack + reshape, NOT an 8-piece lane-concat: chip A/B measured the
+    flat s8 concat at 2.27 ms vs 0.315 ms for the identical stack+reshape
+    (round-5, docs/DESIGN.md) — XLA's s8 concat emitter materializes each
+    lane-offset piece through a shuffle; stack writes tile-aligned."""
+    b, hp, wp, cin = xs.shape
+    assert b == 1, "serving kernels are batch-1"
+    h2, w2 = hp - 3, wp - 3
+    x = xs[0]
+    if cin < 16:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 16 - cin)))
+    return jnp.stack(
+        [x[dy:dy + h2, a:a + w2 + 2, :] for a in (0, 1) for dy in range(4)],
+        axis=2,
+    ).reshape(h2, w2 + 2, 128)
+
+
+def _epilogue_consts(m, c, cout):
+    mf = m.astype(jnp.float32).reshape(1, cout)
+    cf = c.astype(jnp.float32).reshape(1, cout)
+    if cout < 128:
+        mf = jnp.pad(mf, ((0, 0), (0, 128 - cout)))
+        cf = jnp.pad(cf, ((0, 0), (0, 128 - cout)))
+    return mf, cf
+
+
+# ----------------------------------------------------------------------
+# fused s2d stem conv + requant (+ split)
+# ----------------------------------------------------------------------
+
+def _conv_rows(nrows, w2, x_ref, w_ref, m_ref, c_ref):
+    """(nrows, w2+2, 128) s8 block -> (nrows*w2, 128) f32 requantized
+    codes.  Two aligned K=128 matmuls (dx-pairs at column offsets 0/+2),
+    f32 accumulation, y*m+c / ReLU / round / clip epilogue."""
+    xb = x_ref[...].astype(jnp.bfloat16)
+    t0 = xb[:, 0:w2, :].reshape(nrows * w2, 128)
+    t1 = xb[:, 2:w2 + 2, :].reshape(nrows * w2, 128)
+    acc = jnp.dot(t0, w_ref[0], preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(t1, w_ref[1], preferred_element_type=jnp.float32)
+    z = jnp.maximum(acc * m_ref[0] + c_ref[0], 0.0)
+    return jnp.clip(jnp.round(z), 0.0, 127.0)
+
+
+def _stem_kernel(nr, x_ref, w_ref, m_ref, c_ref, out_ref):
+    w2 = out_ref.shape[1]
+    q = _conv_rows(nr, w2, x_ref, w_ref, m_ref, c_ref)
+    out_ref[...] = q.astype(jnp.int8).reshape(nr, w2, 128)
+
+
+def s2d_stem_conv_i8(xs, wf, m, c, n_sp: int, *, nr: int = 8):
+    """Fused serving stem: 4x4 stride-1 conv over the pre-padded s2d int8
+    input (deploy/int8_serve.prepare_s2d_input_u8) with bf16 weights, f32
+    accumulation, folded-BN requant epilogue — one Pallas kernel emitting
+    the fused 128-channel code tensor, split by an XLA slice pair (the
+    in-kernel 64-lane split store costs MORE than the slice: 0.80 vs
+    0.45 + 0.20 ms, round-5 chip table).
+
+    xs: (1, h2+3, w2+3, cin<=16) int8     (h2=H/2, w2=W/2)
+    wf: (4, 4, cin, cout) bf16 folded stem weights (int8-code domain)
+    m, c: (cout,) f32 requant multiplier / bias (stem pack's mf/cf)
+    n_sp: channels of the first (spatial-path) output split
+
+    Returns (sp (1,h2,w2,n_sp) int8, bb (1,h2,w2,cout-n_sp) int8), equal
+    to requant(relu(conv(xs, wf) * m + c)) split at n_sp.  Matches the
+    XLA bf16-stem path up to f32 summation order (+-1 code on ties)."""
+    b, hp, wp, cin = xs.shape
+    h2, w2 = hp - 3, wp - 3
+    cout = wf.shape[-1]
+    assert b == 1 and h2 % nr == 0, (xs.shape, nr)
+    assert 0 < n_sp < cout <= 128
+
+    x8 = pack_stem_input(xs)
+    w_pairs = pack_stem_weights(wf).astype(jnp.bfloat16)
+    mf, cf = _epilogue_consts(m, c, cout)
+
+    q = pl.pallas_call(
+        functools.partial(_stem_kernel, nr),
+        grid=(h2 // nr,),
+        in_specs=[
+            pl.BlockSpec((nr, w2 + 2, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nr, w2, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h2, w2, 128), jnp.int8),
+    )(x8, w_pairs, mf, cf)
+    return q[None, :, :, :n_sp], q[None, :, :, n_sp:cout]
+
+
+# ----------------------------------------------------------------------
+# fused stem + vertical 3/2 maxpool (backbone half never hits HBM at
+# stem resolution) + horizontal 3/2 maxpool on the width-paired view
+# ----------------------------------------------------------------------
+
+def _stem_vpool_kernel(nr, x_ref, xt_ref, w_ref, m_ref, c_ref,
+                       sp_ref, vp_ref):
+    w2 = sp_ref.shape[1]
+    q = _conv_rows(nr, w2, x_ref, w_ref, m_ref, c_ref)  # (nr*w2, 128)
+    sp_ref[...] = q[:, :64].astype(jnp.int8).reshape(nr, w2, 64)
+
+    # top halo: recompute the previous block's last row (x8 row nr*i-1,
+    # BlockSpec-clamped at 0); on the first block it is the maxpool's
+    # pad row — identity 0, never winning over the >=0 codes
+    qh = _conv_rows(1, w2, xt_ref, w_ref, m_ref, c_ref)  # (w2, 128)
+    first = pl.program_id(0) == 0
+    bb_prev = jnp.where(first, jnp.zeros((w2, 64), jnp.float32),
+                        qh[:, 64:])
+    rows = [bb_prev] + [q[r * w2:(r + 1) * w2, 64:] for r in range(nr)]
+    for s in range(nr // 2):
+        v = jnp.maximum(jnp.maximum(rows[2 * s], rows[2 * s + 1]),
+                        rows[2 * s + 2])
+        vp_ref[s] = v.astype(jnp.int8)
+
+
+def _hpool_kernel(ch, nr, x_ref, out_ref):
+    # x_ref rows are the width-paired view (w4, 2ch): lanes [0:ch] = even
+    # input column, [ch:2ch] = odd.  out[c'] = max(in[2c'-1 : 2c'+2]):
+    # pairmax covers 2c'/2c'+1; the 2c'-1 neighbor is the previous pair's
+    # odd half, shifted in by a zero-row sublane concat (the w'=0 pad).
+    wo = out_ref.shape[1]
+    for r in range(nr):
+        mrow = x_ref[r].astype(jnp.bfloat16)
+        pairmax = jnp.maximum(mrow[:, :ch], mrow[:, ch:])
+        shifted = jnp.concatenate(
+            [jnp.zeros((1, 2 * ch), jnp.bfloat16), mrow[:wo - 1, :]],
+            axis=0)
+        out_ref[r] = jnp.maximum(pairmax, shifted[:, ch:]).astype(jnp.int8)
+
+
+def s2d_stem_pool_i8(xs, wf, m, c, n_sp: int, *, nr: int = 8):
+    """Fused serving stem + backbone 3x3/2 maxpool: one kernel computes
+    the 4x4 s2d stem conv + requant, stores the spatial-path half, and
+    vertically max-pools the backbone half in registers (storing only the
+    2x-smaller tensor); a second kernel finishes the horizontal pool on
+    the width-paired view.  The full-resolution backbone activations
+    never exist in HBM.
+
+    Shapes as ``s2d_stem_conv_i8``; additionally requires the R18-stem
+    geometry (cout=128, n_sp=64, h2 % (2*nr) == 0, w2 even) — callers
+    fall back to the split stem + XLA maxpool otherwise.
+
+    Returns (sp (1,h2,w2,64) int8, pooled (1,h2/2,w2/2,64) int8) where
+    pooled == maxpool3x3s2p1(bb) exactly (separable max; identity 0 on
+    both pads is dominated by the >=0 codes)."""
+    b, hp, wp, cin = xs.shape
+    h2, w2 = hp - 3, wp - 3
+    cout = wf.shape[-1]
+    assert b == 1 and cout == 128 and n_sp == 64, (xs.shape, cout, n_sp)
+    assert h2 % (2 * nr) == 0 and w2 % 2 == 0, (h2, w2, nr)
+
+    x8 = pack_stem_input(xs)
+    w_pairs = pack_stem_weights(wf).astype(jnp.bfloat16)
+    mf, cf = _epilogue_consts(m, c, cout)
+
+    sp, vp = pl.pallas_call(
+        functools.partial(_stem_vpool_kernel, nr),
+        grid=(h2 // nr,),
+        in_specs=[
+            pl.BlockSpec((nr, w2 + 2, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w2 + 2, 128),
+                         lambda i: (jnp.maximum(nr * i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nr, w2, 64), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr // 2, w2, 64), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h2, w2, 64), jnp.int8),
+            jax.ShapeDtypeStruct((h2 // 2, w2, 64), jnp.int8),
+        ),
+    )(x8, x8, w_pairs, mf, cf)
+
+    # horizontal 3/2 pool on the paired view (stride-2 -> lane halves)
+    h4, w4 = h2 // 2, w2 // 2
+    nrh = 8 if h4 % 8 == 0 else (4 if h4 % 4 == 0 else 2)
+    assert h4 % nrh == 0, (h4, nrh)
+    xv = vp.reshape(h4, w4, 128)
+    pooled = pl.pallas_call(
+        functools.partial(_hpool_kernel, 64, nrh),
+        grid=(h4 // nrh,),
+        in_specs=[
+            pl.BlockSpec((nrh, w4, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nrh, w4, 64), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h4, w4, 64), jnp.int8),
+    )(xv)
+    return sp[None], pooled[None]
+
+
+def stem_pool_shapes_ok(xs_shape, cout: int, n_sp: int,
+                        nr: int = 8) -> bool:
+    """Trace-time gate for ``s2d_stem_pool_i8`` (callers fall back to the
+    XLA stem at unsupported geometries, e.g. odd sliding-crop sizes)."""
+    b, hp, wp, _ = xs_shape
+    h2, w2 = hp - 3, wp - 3
+    return (b == 1 and cout == 128 and n_sp == 64
+            and h2 % (2 * nr) == 0 and w2 % 2 == 0)
+
+
+# ----------------------------------------------------------------------
+# int8 3x3 stride-2 pad-1 conv on the quad-packed width view — the
+# spatial-path workhorse (BiSeNet SpatialPath convs 2 and 3; reference
+# model/bisenet/*/network.py SpatialPath).  XLA's s8 conv at this shape
+# costs ~0.9 ms in (4,1)-packed operand copies + select fusions; the
+# kernel is 0.167 ms (round-5 chip table).
+#
+# Stride-2 width access is Mosaic-hostile (no strided loads), so the
+# kernel consumes the QUAD view Q[r, c4, j*64+ch] = x[r, 4c4+j, ch]
+# (an XLA minor-merge reshape of the row-major NHWC tensor) and emits
+# the PAIRED view P[r', o2, h*64+ch] = y[r', 2o2+h, ch]: output column
+# granularity (4 input columns per sublane) then matches input
+# granularity 1:1, and the three width taps of each output parity are
+# aligned 64-lane groups:
+#   even outputs (cols 4c4 / 4c4+1 / 4c4-1): lanes [0:128] of the same
+#     sublane + lanes [192:256] of the previous sublane (zero-row concat);
+#   odd outputs (cols 4c4+1 / +2 / +3): lanes [64:256] of the same
+#     sublane — one K=192 contraction.
+# Vertical taps 2r'-1..2r'+1 are python-static rows of the input block;
+# the cross-block top halo is a 1-row clamped BlockSpec ref, masked to
+# the zero pad on the first block.
+#
+# Exactness: int8 code weights in bf16 are exact (|w| <= 127, 7 bits),
+# MXU products accumulate in f32, and |acc| <= 127*127*576 < 2^24 — the
+# integer conv is EXACT, so kernel == XLA `_qconv` + `_requant`
+# bit-for-bit (verified on chip).
+# ----------------------------------------------------------------------
+
+
+def pack_conv3x3_weights(wq):
+    """int8 (3,3,cin=64,cout=64) conv kernel -> per-dy matmul weights
+    (wa (3,128,64), wb (3,64,64), wo (3,192,64)) in bf16 (exact codes):
+    wa[dy] = vstack(w[dy,1], w[dy,2]); wb[dy] = w[dy,0];
+    wo[dy] = vstack(w[dy,0], w[dy,1], w[dy,2])."""
+    w = np.asarray(wq, np.float32)
+    assert w.shape == (3, 3, 64, 64), w.shape
+    wa = np.stack([np.concatenate([w[dy, 1], w[dy, 2]], 0)
+                   for dy in range(3)])
+    wb = np.stack([w[dy, 0] for dy in range(3)])
+    wo = np.stack([np.concatenate([w[dy, 0], w[dy, 1], w[dy, 2]], 0)
+                   for dy in range(3)])
+    return (jnp.asarray(wa, jnp.bfloat16), jnp.asarray(wb, jnp.bfloat16),
+            jnp.asarray(wo, jnp.bfloat16))
+
+
+def _conv_q_kernel(nr, x_ref, xt_ref, wa_ref, wb_ref, wo_ref, m_ref,
+                   c_ref, out_ref):
+    w4 = out_ref.shape[1]
+    first = pl.program_id(0) == 0
+    top = xt_ref[0].astype(jnp.bfloat16)
+    top = jnp.where(first, jnp.zeros_like(top), top)
+    for r in range(nr):
+        acc_e = jnp.zeros((w4, 64), jnp.float32)
+        acc_o = jnp.zeros((w4, 64), jnp.float32)
+        for dy in range(3):
+            k = 2 * r - 1 + dy
+            row = top if k < 0 else x_ref[k].astype(jnp.bfloat16)
+            acc_e += jnp.dot(row[:, 0:128], wa_ref[dy],
+                             preferred_element_type=jnp.float32)
+            shifted = jnp.concatenate(
+                [jnp.zeros((1, 256), jnp.bfloat16), row[:w4 - 1, :]],
+                axis=0)
+            acc_e += jnp.dot(shifted[:, 192:256], wb_ref[dy],
+                             preferred_element_type=jnp.float32)
+            acc_o += jnp.dot(row[:, 64:256], wo_ref[dy],
+                             preferred_element_type=jnp.float32)
+        qe = jnp.clip(jnp.round(
+            jnp.maximum(acc_e * m_ref[0] + c_ref[0], 0.0)), 0.0, 127.0)
+        qo = jnp.clip(jnp.round(
+            jnp.maximum(acc_o * m_ref[0] + c_ref[0], 0.0)), 0.0, 127.0)
+        out_ref[r] = jnp.concatenate([qe, qo], axis=1).astype(jnp.int8)
+
+
+def conv3x3s2_i8_quad(xq, wa, wb, wo, m, c, *, nr: int = 8):
+    """int8-through 3x3/2 pad-1 CBR on the quad width view.
+
+    xq: (hi, wi/4, 256) int8 quad view of the (hi, wi, 64) input codes
+    wa/wb/wo: ``pack_conv3x3_weights`` of the layer's int8 kernel
+    m, c: (64,) f32 requant multiplier / bias
+
+    Returns the PAIRED view (hi/2, wi/4, 128) of the (hi/2, wi/2, 64)
+    output codes: requant(relu(conv(x, w) * m + c))."""
+    hi, w4, lanes = xq.shape
+    assert lanes == 256 and hi % (2 * nr) == 0, (xq.shape, nr)
+    ho = hi // 2
+    m2 = m.astype(jnp.float32).reshape(1, 64)
+    c2 = c.astype(jnp.float32).reshape(1, 64)
+    return pl.pallas_call(
+        functools.partial(_conv_q_kernel, nr),
+        grid=(ho // nr,),
+        in_specs=[
+            pl.BlockSpec((2 * nr, w4, 256), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w4, 256),
+                         lambda i: (jnp.maximum(2 * nr * i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128, 64), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 64, 64), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 192, 64), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nr, w4, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ho, w4, 128), jnp.int8),
+    )(xq, xq, wa, wb, wo, m2, c2)
+
+
+def _pick_nr(ho):
+    for nr in (8, 4, 2, 1):
+        if ho % nr == 0:
+            return nr
+    return 1
+
+
+def spatial_path_shapes_ok(h2: int, w2: int) -> bool:
+    """Trace-time gate for the 2-kernel spatial-path chain: both conv
+    kernels need even output rows per block and quad-divisible widths."""
+    return (h2 % 4 == 0 and w2 % 16 == 0
+            and (h2 // 2) % 2 == 0 and (w2 // 4) % 2 == 0)
+
+
+def spatial_path_i8(sp, p1, p2, *, carry_unused=None):
+    """BiSeNet SpatialPath convs 2+3 (3x3/2 CBRs) as chained quad
+    kernels: sp (1, h2, w2, 64) int8 codes -> (1, h2/4, w2/4, 64) int8
+    codes at p2's output scale.  p1/p2: dicts with the packed weights
+    ("wa","wb","wo") and requant "m"/"c" (see
+    deploy/int8_serve.make_int8_through_infer).  The inter-stage
+    transforms are XLA minor-merge reshapes of row-major tensors (cheap
+    relayouts); stride-2 never appears outside the kernels."""
+    b, h2, w2, ch = sp.shape
+    assert b == 1 and ch == 64, sp.shape
+    xq = sp[0].reshape(h2, w2 // 4, 256)
+    o1 = conv3x3s2_i8_quad(xq, p1["wa"], p1["wb"], p1["wo"],
+                           p1["m"], p1["c"], nr=_pick_nr(h2 // 2))
+    # paired (h2/2, w2/4, 128) -> quad (h2/2, w2/8, 256)
+    xq2 = o1.reshape(h2 // 2, w2 // 8, 256)
+    o2 = conv3x3s2_i8_quad(xq2, p2["wa"], p2["wb"], p2["wo"],
+                           p2["m"], p2["c"], nr=_pick_nr(h2 // 4))
+    # paired (h2/4, w2/8, 128) -> standard NHWC
+    return o2.reshape(h2 // 4, w2 // 4, 64)[None]
+
+
+# ----------------------------------------------------------------------
+# standalone 3x3 stride-2 pad-1 maxpool on non-negative int8 codes
+# ----------------------------------------------------------------------
+
+_MP_R = 4  # output rows per grid step
+
+
+def _maxpool_kernel(ch, x_prev_ref, x_a_ref, x_b_ref, out_ref):
+    # refs hold the width-paired view (wo, 2ch): lane block [0:ch] = even
+    # pixels, [ch:2ch] = odd.  Compute in bf16 (exact for codes in
+    # [0,127]): this Mosaic build rejects elementwise max / lane slices
+    # directly on s8 vectors.
+    wo = out_ref.shape[1]
+    first = pl.program_id(0) == 0
+    for r in range(_MP_R):
+        # window rows 2r-1, 2r, 2r+1 relative to this block's first output
+        # row; sources are python-static rows of the three shifted views
+        g = 2 * r - 1
+        rows = []
+        for dy in range(3):
+            k = g + dy
+            if k < 0:
+                # top halo row: x_prev's index_map clamps 2i-1 at 0, so
+                # its last row is input row -1 for every block but the
+                # first; mask the first block to the pad identity (0 —
+                # codes are post-ReLU, >= 0)
+                row = x_prev_ref[_MP_R + k].astype(jnp.bfloat16)
+                row = jnp.where(first, jnp.zeros_like(row), row)
+            elif k < _MP_R:
+                row = x_a_ref[k].astype(jnp.bfloat16)
+            else:
+                row = x_b_ref[k - _MP_R].astype(jnp.bfloat16)
+            rows.append(row)
+        m = jnp.maximum(jnp.maximum(rows[0], rows[1]), rows[2])  # (wo,2ch)
+        pairmax = jnp.maximum(m[:, :ch], m[:, ch:])
+        # x[2w'-1] = previous pair's odd pixel; w'=0 gets the pad identity
+        # via a zero-row sublane concat (pltpu.roll does not lower here).
+        # Concat FULL-WIDTH, lane-slice after: Mosaic rejects concats of
+        # offset-lane-sliced operands but accepts slicing the result.
+        shifted = jnp.concatenate(
+            [jnp.zeros((1, 2 * ch), jnp.bfloat16), m[:wo - 1, :]], axis=0)
+        out_ref[r] = jnp.maximum(pairmax, shifted[:, ch:]).astype(jnp.int8)
+
+
+def maxpool2d_3x3s2_i8(x):
+    """3x3 stride-2 pad-1 maxpool over NON-NEGATIVE int8 codes (the
+    post-ReLU requantized activations of the int8-through graph), NHWC,
+    batch 1 — the standalone Pallas alternative to XLA's s8 reduce-window.
+
+    NOTE: in the serving graph the pool is instead FUSED into the stem
+    (``s2d_stem_pool_i8``) — standalone, the width-pairing reshape of the
+    input costs an XLA relayout (~0.2 ms at R18 size) that puts this
+    kernel at parity with the reduce-window rather than ahead; kept as
+    the A/B arm and for geometries the fused kernel rejects.
+
+    Layout: the width-paired (hi, wo, 2ch) view is a free bitcast of a
+    row-major NHWC tensor, the stride-2 selection a lane slice, and the
+    w-1 neighbor a zero-row sublane concat — no roll, no strided access
+    (both unsupported on this Mosaic build).  Edge semantics: identity 0
+    == the reference's -inf pad because every code is post-ReLU >= 0; the
+    top halo row of each block comes from a BlockSpec view shifted by -1
+    block whose index clamps at 0 — masked to the pad on the first block
+    only.
+    """
+    b, hi, wi, ch = x.shape
+    assert b == 1 and hi % (2 * _MP_R) == 0 and wi % 2 == 0, x.shape
+    ho, wo = hi // 2, wi // 2
+
+    xv = x[0].reshape(hi, wo, 2 * ch)
+    out = pl.pallas_call(
+        functools.partial(_maxpool_kernel, ch),
+        grid=(ho // _MP_R,),
+        in_specs=[
+            pl.BlockSpec((_MP_R, wo, 2 * ch),
+                         lambda i: (jnp.maximum(2 * i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_MP_R, wo, 2 * ch), lambda i: (2 * i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_MP_R, wo, 2 * ch),
+                         lambda i: (2 * i + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_MP_R, wo, ch), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ho, wo, ch), jnp.int8),
+    )(xv, xv, xv)
+    return out[None]
