@@ -129,6 +129,37 @@ def test_spatial_path_chain_bit_exact():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_l1_stage_bit_exact_vs_apply_block():
+    from torchseg_tpu.deploy.int8_serve import _apply_block
+    from torchseg_tpu.ops.pallas.int8_serve_kernels import (
+        l1_stage_i8_paired,
+        pack_resblock_weights,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def mk_block(r):
+        e = {}
+        for conv in ("conv1", "conv2"):
+            e[conv] = {
+                "w": jnp.asarray(r.integers(-127, 128, (3, 3, 64, 64)),
+                                 jnp.int8),
+                "m": jnp.asarray(r.uniform(1e-5, 8e-5, (64,)),
+                                 jnp.float32),
+                "c": jnp.asarray(r.normal(size=(64,)) * 0.4, jnp.float32),
+            }
+        e["res_ratio"] = jnp.asarray(r.uniform(0.3, 0.9, (64,)),
+                                     jnp.float32)
+        return e
+
+    e1, e2 = mk_block(rng), mk_block(rng)
+    x = jnp.asarray(rng.integers(0, 128, (1, 16, 16, 64)), jnp.int8)
+    ref = _apply_block(_apply_block(x, e1, 1), e2, 1)
+    W, mc, rr = pack_resblock_weights(e1, e2)
+    got = l1_stage_i8_paired(x, W, mc, rr)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_spatial_path_shape_gate():
     assert spatial_path_shapes_ok(512, 1024)
     assert spatial_path_shapes_ok(384, 768)

@@ -1121,7 +1121,10 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
         # kernels (ops/pallas/int8_serve_kernels.conv3x3s2_i8_quad):
         # exact int8 codes carried in bf16, f32 accumulation — the
         # kernel is bit-identical to _qconv + _requant (docstring there)
-        from ..ops.pallas.int8_serve_kernels import pack_conv3x3_weights
+        from ..ops.pallas.int8_serve_kernels import (
+            pack_conv3x3_weights,
+            pack_resblock_weights,
+        )
 
         for name in ("sp1", "sp2"):
             wa, wb, wo = pack_conv3x3_weights(pkg[name]["w"])
@@ -1129,6 +1132,12 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                 "wa": wa, "wb": wb, "wo": wo,
                 "m": pkg[name]["m"], "c": pkg[name]["c"],
             }
+        if (strides.get("l1_0") == 1 and strides.get("l1_1") == 1
+                and "down" not in pkg["l1_0"]
+                and pkg["l1_0"]["conv1"]["w"].shape == (3, 3, 64, 64)):
+            l1w, l1mc, l1rr = pack_resblock_weights(pkg["l1_0"],
+                                                    pkg["l1_1"])
+            run_pkg["l1q"] = {"W": l1w, "mc": l1mc, "rr": l1rr}
 
     @jax.jit
     def infer(pkg, xs):
@@ -1221,10 +1230,27 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
         # backbone body (the fused Pallas stem already pooled)
         x = pooled if pooled is not None else _maxpool_i8(
             bb_q, via=maxpool_via)
+        l1_pallas = (stem_mode == "pallas" and kind == "r18"
+                     and "l1q" in pkg and x.dtype == jnp.int8
+                     and x.shape[1] % 8 == 0 and x.shape[2] % 2 == 0)
         feats = []
         apply_block = _apply_block if kind == "r18" else _apply_xblock
         last_stage = stages[-1][0]
         for li, nblocks in stages:
+            if li == 1 and l1_pallas:
+                # both stride-1 BasicBlocks of stage 1 as ONE fused
+                # Pallas kernel (intermediates never leave VMEM) —
+                # bit-identical to the chained _apply_block path; XLA
+                # runs these 4 convs ~1.5 ms, the kernel 0.69
+                # (round-5 chip table, docs/DESIGN.md)
+                from ..ops.pallas.int8_serve_kernels import (
+                    l1_stage_i8_paired,
+                )
+
+                q1 = pkg["l1q"]
+                x = l1_stage_i8_paired(x, q1["W"], q1["mc"], q1["rr"])
+                feats.append(x)
+                continue
             for bi in range(nblocks):
                 name = f"l{li}_{bi}"
                 last = li == last_stage and bi == nblocks - 1

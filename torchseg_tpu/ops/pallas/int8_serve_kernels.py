@@ -436,6 +436,185 @@ def spatial_path_i8(sp, p1, p2, *, carry_unused=None):
 
 
 # ----------------------------------------------------------------------
+# fused ResNet-18 L1 stage (two stride-1 BasicBlocks, 4 convs) on the
+# paired width view.  XLA runs these four s8 3x3 convs at ~1.5 ms
+# (operand-layout fusions + unfused f32 requant epilogues, round-5
+# per-op profile) against a ~0.2 ms MXU bound; the fused kernel keeps
+# every intermediate in VMEM (only the stage input/output touch HBM,
+# 8.4 MB each) and recomputes a 4-row halo per block for the chained
+# 3x3 receptive field.
+#
+# Stride-1 pairing: with P[c] holding columns (2c, 2c+1) in lane
+# halves, BOTH output parities read the SAME aligned operand row —
+#   even out (taps 2c-1, 2c, 2c+1):  P[c] @ [[w1|w0],[w2|w1]]
+#                                    + shift_dn(P)[c] @ [[0|0],[w0|0]]
+#   odd  out (taps 2c,  2c+1, 2c+2): (second N-half of the same dots)
+#                                    + shift_up(P)[c] @ [[0|w2],[0|0]]
+# so one K=3*(128+128+128) dot per (output row, conv) computes both
+# parities at N=128 (the dn/up pieces carry half-zero weights: 67%
+# effective K).  Row shifts are sublane zero-concats; everything is
+# python-unrolled.
+#
+# Halo/pad correctness: intermediate activations OUTSIDE the image
+# (global row < 0 or >= h) are forced to ZERO — a recomputed halo row
+# fed from zero padding is NOT zero after the +bias/ReLU of the
+# previous conv, so each level masks its out-of-range rows to match
+# XLA's zero padding exactly.
+# ----------------------------------------------------------------------
+
+
+def _resblock_w(w, dy):
+    """(3,3,64,64) int8 conv kernel -> the dy-slice of the combined
+    dual-parity weight stack: (3, 128, 128) pieces [aligned, dn, up]."""
+    wa = np.zeros((128, 128), np.float32)
+    wa[0:64, 0:64] = w[dy, 1]
+    wa[0:64, 64:128] = w[dy, 0]
+    wa[64:128, 0:64] = w[dy, 2]
+    wa[64:128, 64:128] = w[dy, 1]
+    wd = np.zeros((128, 128), np.float32)
+    wd[64:128, 0:64] = w[dy, 0]
+    wu = np.zeros((128, 128), np.float32)
+    wu[0:64, 64:128] = w[dy, 2]
+    return wa, wd, wu
+
+
+def pack_resblock_weights(e1, e2):
+    """Two _apply_block param dicts (l1_0, l1_1: conv1/conv2 with int8
+    'w' + f32 'm'/'c', plus 'res_ratio') -> the fused-kernel params:
+    W (4, 1152, 128) bf16 (exact int8 codes), mc (4, 2, 128) f32
+    requant rows (m, c duplicated across parity halves), rr (2, 128)."""
+    ws, mcs, rrs = [], [], []
+    for e in (e1, e2):
+        for conv in ("conv1", "conv2"):
+            w = np.asarray(e[conv]["w"], np.float32)
+            pieces = []
+            for dy in range(3):
+                pieces.extend(_resblock_w(w, dy))
+            ws.append(np.concatenate(pieces, axis=0))  # (1152, 128)
+            m = np.asarray(e[conv]["m"], np.float32)
+            c = np.asarray(e[conv]["c"], np.float32)
+            mcs.append(np.stack([np.tile(m, 2), np.tile(c, 2)]))
+        rr = np.broadcast_to(
+            np.asarray(e["res_ratio"], np.float32).reshape(-1), (64,))
+        rrs.append(np.tile(rr, 2))
+    return (jnp.asarray(np.stack(ws), jnp.bfloat16),
+            jnp.asarray(np.stack(mcs), jnp.float32),
+            jnp.asarray(np.stack(rrs), jnp.float32))
+
+
+def _conv_row(rows, r, w_ref, j):
+    """One dual-parity conv row: rows maps block offsets to (W2, 128)
+    bf16 code rows (absent = zero pad row); returns the (W2, 128) f32
+    pre-epilogue accumulator — one K<=1152 dot."""
+    ops, wrows = [], []
+    for dy in range(3):
+        row = rows.get(r - 1 + dy)
+        if row is None:
+            continue  # static zero row (image pad): contributes nothing
+        zero = jnp.zeros((1, 128), jnp.bfloat16)
+        dn = jnp.concatenate([zero, row[:-1]], axis=0)
+        up = jnp.concatenate([row[1:], zero], axis=0)
+        ops.extend((row, dn, up))
+        wrows.append(w_ref[j, 384 * dy: 384 * (dy + 1), :])
+    op = jnp.concatenate(ops, axis=1)
+    wsel = jnp.concatenate(wrows, axis=0)
+    return jnp.dot(op, wsel, preferred_element_type=jnp.float32)
+
+
+def _requant_rows(y, mc_ref, j):
+    z = jnp.maximum(y * mc_ref[j, 0] + mc_ref[j, 1], 0.0)
+    return jnp.clip(jnp.round(z), 0.0, 127.0).astype(jnp.bfloat16)
+
+
+def _res_stage_kernel(nr, h4, x_top_ref, x_ref, x_bot_ref, w_ref, mc_ref,
+                      rr_ref, out_ref):
+    base = pl.program_id(0) * nr
+
+    def in_row(off):
+        """Input code row at block offset `off` in [-4, nr+4), masked to
+        the zero pad outside the image."""
+        if off < -4 or off >= nr + 4:
+            return None
+        if off < 0:
+            v = x_top_ref[4 + off].astype(jnp.bfloat16)
+        elif off < nr:
+            v = x_ref[off].astype(jnp.bfloat16)
+        else:
+            v = x_bot_ref[off - nr].astype(jnp.bfloat16)
+        g = base + off
+        return jnp.where((g >= 0) & (g < h4), v, jnp.zeros_like(v))
+
+    def level(rows, lo, hi, j, resid=None, rr=None):
+        """conv j over block offsets [lo, hi); rows maps offsets to
+        (W2,128) bf16 code rows.  Returns the next level's dict, rows
+        masked to zero outside the image (XLA's conv pad)."""
+        out = {}
+        for off in range(lo, hi):
+            y = _conv_row(rows, off, w_ref, j)
+            if resid is not None:
+                z = jnp.maximum(
+                    y * mc_ref[j, 0] + mc_ref[j, 1]
+                    + resid[off].astype(jnp.float32) * rr_ref[rr], 0.0)
+                q = jnp.clip(jnp.round(z), 0.0, 127.0).astype(jnp.bfloat16)
+            else:
+                q = _requant_rows(y, mc_ref, j)
+            g = base + off
+            out[off] = jnp.where((g >= 0) & (g < h4), q,
+                                 jnp.zeros_like(q))
+        return out
+
+    x_rows = {off: in_row(off) for off in range(-4, nr + 4)}
+    c1 = level(x_rows, -3, nr + 3, 0)
+    b0 = level(c1, -2, nr + 2, 1, resid=x_rows, rr=0)
+    c3 = level(b0, -1, nr + 1, 2)
+    b1 = level(c3, 0, nr, 3, resid=b0, rr=1)
+    for off in range(nr):
+        out_ref[off] = b1[off].astype(jnp.int8)
+
+
+def l1_stage_i8_paired(pooled, W, mc, rr, *, nr: int = 8):
+    """ResNet-18 stage-1 (two stride-1 BasicBlocks) int8-through, fused
+    into one Pallas kernel over the width-paired view.
+
+    pooled: (1, h4, w4, 64) int8 codes (the stem+pool output)
+    W/mc/rr: ``pack_resblock_weights`` of the l1_0/l1_1 packages
+
+    Returns (1, h4, w4, 64) int8 codes == two chained ``_apply_block``
+    calls (deploy/int8_serve) — exact integer dots in bf16/f32, same
+    f32 epilogue expression and op order."""
+    b, h4, w4, ch = pooled.shape
+    assert b == 1 and ch == 64 and w4 % 2 == 0, pooled.shape
+    assert h4 % nr == 0 and nr % 4 == 0, (h4, nr)
+    w2 = w4 // 2
+    xv = pooled[0].reshape(h4, w2, 128)
+    out = pl.pallas_call(
+        functools.partial(_res_stage_kernel, nr, h4),
+        grid=(h4 // nr,),
+        in_specs=[
+            pl.BlockSpec((4, w2, 128),
+                         lambda i: (jnp.maximum(nr // 4 * i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, w2, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, w2, 128),
+                         lambda i: (jnp.minimum(nr // 4 * (i + 1),
+                                                h4 // 4 - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1152, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 2, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nr, w2, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h4, w2, 128), jnp.int8),
+    )(xv, xv, xv, W, mc, rr)
+    return out.reshape(h4, w4, 64)[None]
+
+
+# ----------------------------------------------------------------------
 # standalone 3x3 stride-2 pad-1 maxpool on non-negative int8 codes
 # ----------------------------------------------------------------------
 
