@@ -74,6 +74,23 @@ def test_stem_pool_matches_xla_stem_plus_maxpool():
     assert (np.asarray(rmp) != np.asarray(pooled)).mean() < 1e-3
 
 
+def test_stem_pool_quad_v3_matches_v2_views():
+    from torchseg_tpu.ops.pallas.int8_serve_kernels import (
+        s2d_stem_pool_quad_i8,
+    )
+
+    xs, wf, m, c = _stem_case(seed=6)
+    h2, w2 = xs.shape[1] - 3, xs.shape[2] - 3
+    sp2, pl2 = s2d_stem_pool_i8(xs, wf, m, c, 64)
+    spq, plq = s2d_stem_pool_quad_i8(xs, wf, m, c, 64)
+    # the v3 outputs are the quad / paired VIEWS of the v2 tensors
+    np.testing.assert_array_equal(
+        np.asarray(sp2), np.asarray(spq).reshape(h2, w2, 64)[None])
+    np.testing.assert_array_equal(
+        np.asarray(pl2),
+        np.asarray(plq).reshape(h2 // 2, w2 // 2, 64)[None])
+
+
 def test_stem_pool_shape_gate():
     assert stem_pool_shapes_ok((1, 515, 1027, 12), 128, 64)
     assert not stem_pool_shapes_ok((1, 516, 1027, 12), 128, 64)  # h2=513

@@ -1144,30 +1144,43 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
         stem = pkg["stem"]
         use_dec = "dec" in pkg
         pooled = None
+        sp_quad = pooled_view = None
         cout_stem = stem["wf"].shape[-1]
         if stem_mode == "pallas" and kind == "r18":
             # Pallas fused stem (ops/pallas/int8_serve_kernels): same bf16
             # weights / f32 accumulation / requant math as the "bf16"
             # branch below, but conv + requant + the backbone 3x3/2
-            # maxpool in Pallas kernels — XLA ran this region at ~1.8 ms
-            # (conv fusion + (4,1) operand copy + split + s8
-            # reduce-window) vs 1.28 ms for the kernels (round-5 chip
-            # table, docs/DESIGN.md "Pallas int8 stem").  Geometry the
-            # fused kernel rejects (odd crops) degrades per trace-time
-            # shape to the split kernel, then to the XLA stem.
+            # maxpool in Pallas kernels.  The v3 stem additionally emits
+            # sp in the quad view the sp1 kernel consumes and the pooled
+            # backbone in the paired view the L1 kernel consumes, so no
+            # XLA relayout exists between the Pallas stages (round-5
+            # chip tables, docs/DESIGN.md "Pallas int8 stem+spatial
+            # path").  Geometry the fused kernels reject (odd crops)
+            # degrades per trace-time shape to the v2 split kernels,
+            # then to the XLA stem.
             from ..ops.pallas.int8_serve_kernels import (
                 s2d_stem_conv_i8,
                 s2d_stem_pool_i8,
+                s2d_stem_pool_quad_i8,
+                spatial_path_shapes_ok,
                 stem_pool_shapes_ok,
             )
 
-            if stem_pool_shapes_ok(xs.shape, cout_stem, n_sp):
+            h2s, w2s = xs.shape[1] - 3, xs.shape[2] - 3
+            stem_ok = stem_pool_shapes_ok(xs.shape, cout_stem, n_sp)
+            if (stem_ok and w2s % 8 == 0 and "l1q" in pkg
+                    and spatial_path_shapes_ok(h2s, w2s)
+                    and spatial_carry == "s8"):
+                sp_quad, pooled_view = s2d_stem_pool_quad_i8(
+                    xs, stem["wf"], stem["mf"], stem["cf"], n_sp)
+                sp_q = None
+            elif stem_ok:
                 sp_q, pooled = s2d_stem_pool_i8(
                     xs, stem["wf"], stem["mf"], stem["cf"], n_sp)
             else:
                 sp_q, bb_q = s2d_stem_conv_i8(
                     xs, stem["wf"], stem["mf"], stem["cf"], n_sp)
-            if spatial_carry == "bf16":
+            if spatial_carry == "bf16" and sp_q is not None:
                 sp_q = sp_q.astype(jnp.bfloat16)
         elif stem_mode in ("bf16", "bf16-acc", "pallas"):
             # bf16 stem conv over the same int8 input (cast is free in the
@@ -1203,52 +1216,70 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                 sp_q, bb_q = q[..., :n_sp], q[..., n_sp:]
 
         # spatial path (int8 chain; last conv emits float for the flax
-        # FFM, int8 at the concat scale for the int8 decoder)
+        # FFM, int8 at the concat scale for the int8 decoder).  Both
+        # 3x3/2 CBRs run as chained Pallas quad kernels when possible —
+        # XLA's s8 convs here cost ~1.3 ms in (4,1)-packed operand
+        # copies (round-4/5 per-op profiles); the kernels are
+        # bit-identical to the _apply_cbr path (exact integer bf16
+        # matmuls)
         carry = jnp.bfloat16 if spatial_carry == "bf16" else jnp.int8
-        sp_pallas = False
-        if stem_mode == "pallas" and kind == "r18" \
-                and sp_q.dtype == jnp.int8:
+        if sp_quad is not None:
             from ..ops.pallas.int8_serve_kernels import (
-                spatial_path_i8,
-                spatial_path_shapes_ok,
+                spatial_path_i8_from_quad,
             )
 
-            sp_pallas = spatial_path_shapes_ok(*sp_q.shape[1:3])
-        if sp_pallas:
-            # both 3x3/2 CBRs as chained Pallas quad kernels — XLA's s8
-            # convs here cost ~1.3 ms in (4,1)-packed operand copies
-            # (round-4/5 per-op profiles); the kernels are bit-identical
-            # to the _apply_cbr path (exact integer bf16 matmuls)
-            sq = spatial_path_i8(sp_q, pkg["sp1q"], pkg["sp2q"])
+            sq = spatial_path_i8_from_quad(sp_quad, pkg["sp1q"],
+                                           pkg["sp2q"])
         else:
-            sq = _apply_cbr(sp_q, pkg["sp1"], 2, 1, carry=carry)
-            sq = _apply_cbr(sq, pkg["sp2"], 2, 1, carry=carry)
+            sp_pallas = False
+            if stem_mode == "pallas" and kind == "r18" \
+                    and sp_q.dtype == jnp.int8 and "sp1q" in pkg:
+                from ..ops.pallas.int8_serve_kernels import (
+                    spatial_path_i8,
+                    spatial_path_shapes_ok,
+                )
+
+                sp_pallas = spatial_path_shapes_ok(*sp_q.shape[1:3])
+            if sp_pallas:
+                sq = spatial_path_i8(sp_q, pkg["sp1q"], pkg["sp2q"])
+            else:
+                sq = _apply_cbr(sp_q, pkg["sp1"], 2, 1, carry=carry)
+                sq = _apply_cbr(sq, pkg["sp2"], 2, 1, carry=carry)
         # the decoder concat wants s8 codes; the /8 tensor is small, so
         # the final requant lands in s8 regardless of the carry
         spatial_out = _apply_cbr(sq, pkg["sp3"], 1, 0, emit_int8=use_dec)
 
-        # backbone body (the fused Pallas stem already pooled)
-        x = pooled if pooled is not None else _maxpool_i8(
-            bb_q, via=maxpool_via)
-        l1_pallas = (stem_mode == "pallas" and kind == "r18"
-                     and "l1q" in pkg and x.dtype == jnp.int8
-                     and x.shape[1] % 8 == 0 and x.shape[2] % 2 == 0)
+        # backbone body (the fused Pallas stem already pooled).  Stage 1
+        # (both stride-1 BasicBlocks) runs as ONE fused Pallas kernel
+        # when possible (intermediates never leave VMEM) —
+        # bit-identical to the chained _apply_block path; XLA runs
+        # these 4 convs ~1.5 ms, the kernel 0.69 (round-5 chip table,
+        # docs/DESIGN.md)
+        if pooled_view is None:
+            x = pooled if pooled is not None else _maxpool_i8(
+                bb_q, via=maxpool_via)
+            l1_pallas = (stem_mode == "pallas" and kind == "r18"
+                         and "l1q" in pkg and x.dtype == jnp.int8
+                         and x.shape[1] % 8 == 0 and x.shape[2] % 2 == 0)
+        else:
+            x, l1_pallas = None, True
         feats = []
         apply_block = _apply_block if kind == "r18" else _apply_xblock
         last_stage = stages[-1][0]
         for li, nblocks in stages:
             if li == 1 and l1_pallas:
-                # both stride-1 BasicBlocks of stage 1 as ONE fused
-                # Pallas kernel (intermediates never leave VMEM) —
-                # bit-identical to the chained _apply_block path; XLA
-                # runs these 4 convs ~1.5 ms, the kernel 0.69
-                # (round-5 chip table, docs/DESIGN.md)
                 from ..ops.pallas.int8_serve_kernels import (
                     l1_stage_i8_paired,
+                    l1_stage_i8_paired_view,
                 )
 
                 q1 = pkg["l1q"]
-                x = l1_stage_i8_paired(x, q1["W"], q1["mc"], q1["rr"])
+                if pooled_view is not None:
+                    x = l1_stage_i8_paired_view(
+                        pooled_view, q1["W"], q1["mc"], q1["rr"])
+                else:
+                    x = l1_stage_i8_paired(x, q1["W"], q1["mc"],
+                                           q1["rr"])
                 feats.append(x)
                 continue
             for bi in range(nblocks):

@@ -288,6 +288,136 @@ def stem_pool_shapes_ok(xs_shape, cout: int, n_sp: int,
 
 
 # ----------------------------------------------------------------------
+# stem v3: 4-column-granular pack -> sp emitted DIRECTLY in the quad
+# view the sp1 kernel consumes, pooled emitted DIRECTLY in the paired
+# view the L1 kernel consumes.  Kills the ~0.54 ms of XLA boundary
+# relayouts around the v2 stem (sp->quad 0.375 + pooled->paired 0.165,
+# round-5 per-op profile).  Uses aligned partial lane-range STORES
+# (probe-verified on this Mosaic build); lane-concat of computed slices
+# silently MISCOMPILES here and is never used — concat operands are
+# always full computed values.
+# ----------------------------------------------------------------------
+
+
+def pack_stem_input_x32(xs):
+    """(1, h2+3, w2+3, cin<=16) s2d int8 input -> (h2, w2/4 + 1, 512)
+    pack with x32[r, c4, j*128 + a*64 + dy*16 + ch] = xs[0, r+dy,
+    4*c4 + j + a, ch] — the x8 pack regrouped to 4-column granularity
+    so each output-column parity class is an aligned 128-lane slice."""
+    b, hp, wp, cin = xs.shape
+    assert b == 1, "serving kernels are batch-1"
+    h2, w2 = hp - 3, wp - 3
+    assert w2 % 4 == 0, w2
+    x = xs[0]
+    if cin < 16:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 16 - cin)))
+    x8 = jnp.stack(
+        [x[dy:dy + h2, a:a + w2 + 2, :] for a in (0, 1) for dy in range(4)],
+        axis=2,
+    )  # (h2, w2+2, 8, 16)
+    x8 = jnp.pad(x8, ((0, 0), (0, 2), (0, 0), (0, 0)))
+    return x8.reshape(h2, w2 // 4 + 1, 512)
+
+
+def _stem_pool_quad_kernel(nr, w2, x_ref, xt_ref, w_ref, m_ref, c_ref,
+                           sp_ref, vp_ref):
+    wq = w2 // 4
+    first = pl.program_id(0) == 0
+
+    def conv_classes(row):
+        """row (wq+1, 512) bf16 -> [q0..q3] (wq, 128) f32 requantized
+        codes, qj = output columns 4c+j."""
+        qs = []
+        for j in range(4):
+            t0 = row[0:wq, 128 * j:128 * (j + 1)]
+            k2 = (j + 2) % 4
+            off = (j + 2) // 4  # classes 2,3 read the next sublane
+            t1 = row[off:wq + off, 128 * k2:128 * (k2 + 1)]
+            acc = jnp.dot(t0, w_ref[0],
+                          preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(t1, w_ref[1],
+                                preferred_element_type=jnp.float32)
+            z = jnp.maximum(acc * m_ref[0] + c_ref[0], 0.0)
+            qs.append(jnp.clip(jnp.round(z), 0.0, 127.0))
+        return qs
+
+    rows_q = []
+    for r in range(nr):
+        qs = conv_classes(x_ref[r].astype(jnp.bfloat16))
+        for j in range(4):
+            sp_ref[r, :, 64 * j:64 * (j + 1)] = (
+                qs[j][:, 0:64].astype(jnp.int8))
+        rows_q.append(qs)
+
+    qh = conv_classes(xt_ref[0].astype(jnp.bfloat16))
+    zero = jnp.zeros((wq, 128), jnp.float32)
+    prev = [jnp.where(first, zero, q) for q in qh]
+    rows_q = [prev] + rows_q
+    zrow = jnp.zeros((1, 128), jnp.float32)
+    for s in range(nr // 2):
+        # vertical 3/2 max per class (bb rows 2s-1, 2s, 2s+1)
+        vf = [jnp.maximum(jnp.maximum(rows_q[2 * s][j],
+                                      rows_q[2 * s + 1][j]),
+                          rows_q[2 * s + 2][j]) for j in range(4)]
+        # horizontal 3/2 on class arrays: pooled col 2t <- input cols
+        # 4t-1 (class 3, sublane t-1), 4t (class 0), 4t+1 (class 1);
+        # pooled col 2t+1 <- 4t+1..4t+3 (classes 1, 2, 3)
+        v3dn = jnp.concatenate([zrow, vf[3][:wq - 1]], axis=0)
+        e = jnp.maximum(jnp.maximum(v3dn, vf[0]), vf[1])
+        o = jnp.maximum(jnp.maximum(vf[1], vf[2]), vf[3])
+        vp_ref[s, :, 0:64] = e[:, 64:128].astype(jnp.int8)
+        vp_ref[s, :, 64:128] = o[:, 64:128].astype(jnp.int8)
+
+
+def s2d_stem_pool_quad_i8(xs, wf, m, c, n_sp: int, *, nr: int = 8):
+    """Stem v3: like ``s2d_stem_pool_i8`` but emitting the DOWNSTREAM
+    layouts directly — sp in the quad view ``conv3x3s2_i8_quad``
+    consumes ((h2, w2/4, 256) int8) and the pooled backbone in the
+    paired view ``l1_stage_i8_paired`` consumes ((h2/2, w2/4, 128)
+    int8) — so no XLA relayout exists between the Pallas stages.
+    Same math, bit-compatible with the v2 kernel."""
+    b, hp, wp, cin = xs.shape
+    h2, w2 = hp - 3, wp - 3
+    cout = wf.shape[-1]
+    assert b == 1 and cout == 128 and n_sp == 64, (xs.shape, cout, n_sp)
+    assert h2 % (2 * nr) == 0 and w2 % 8 == 0, (h2, w2, nr)
+
+    x32 = pack_stem_input_x32(xs)
+    w_pairs = pack_stem_weights(wf).astype(jnp.bfloat16)
+    mf, cf = _epilogue_consts(m, c, cout)
+    wq = w2 // 4
+
+    sp_quad, pooled = pl.pallas_call(
+        functools.partial(_stem_pool_quad_kernel, nr, w2),
+        grid=(h2 // nr,),
+        in_specs=[
+            pl.BlockSpec((nr, wq + 1, 512), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wq + 1, 512),
+                         lambda i: (jnp.maximum(nr * i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nr, wq, 256), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr // 2, wq, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h2, wq, 256), jnp.int8),
+            jax.ShapeDtypeStruct((h2 // 2, wq, 128), jnp.int8),
+        ),
+    )(x32, x32, w_pairs, mf, cf)
+    return sp_quad, pooled
+
+
+# ----------------------------------------------------------------------
 # int8 3x3 stride-2 pad-1 conv on the quad-packed width view — the
 # spatial-path workhorse (BiSeNet SpatialPath convs 2 and 3; reference
 # model/bisenet/*/network.py SpatialPath).  XLA's s8 conv at this shape
@@ -414,17 +544,14 @@ def spatial_path_shapes_ok(h2: int, w2: int) -> bool:
             and (h2 // 2) % 2 == 0 and (w2 // 4) % 2 == 0)
 
 
-def spatial_path_i8(sp, p1, p2, *, carry_unused=None):
+def spatial_path_i8_from_quad(xq, p1, p2):
     """BiSeNet SpatialPath convs 2+3 (3x3/2 CBRs) as chained quad
-    kernels: sp (1, h2, w2, 64) int8 codes -> (1, h2/4, w2/4, 64) int8
-    codes at p2's output scale.  p1/p2: dicts with the packed weights
-    ("wa","wb","wo") and requant "m"/"c" (see
-    deploy/int8_serve.make_int8_through_infer).  The inter-stage
-    transforms are XLA minor-merge reshapes of row-major tensors (cheap
-    relayouts); stride-2 never appears outside the kernels."""
-    b, h2, w2, ch = sp.shape
-    assert b == 1 and ch == 64, sp.shape
-    xq = sp[0].reshape(h2, w2 // 4, 256)
+    kernels, starting from the quad view the v3 stem emits directly:
+    xq (h2, w2/4, 256) int8 -> (1, h2/4, w2/4, 64) int8 codes at p2's
+    output scale."""
+    h2, wq, lanes = xq.shape
+    assert lanes == 256, xq.shape
+    w2 = 4 * wq
     o1 = conv3x3s2_i8_quad(xq, p1["wa"], p1["wb"], p1["wo"],
                            p1["m"], p1["c"], nr=_pick_nr(h2 // 2))
     # paired (h2/2, w2/4, 128) -> quad (h2/2, w2/8, 256)
@@ -433,6 +560,19 @@ def spatial_path_i8(sp, p1, p2, *, carry_unused=None):
                            p2["m"], p2["c"], nr=_pick_nr(h2 // 4))
     # paired (h2/4, w2/8, 128) -> standard NHWC
     return o2.reshape(h2 // 4, w2 // 4, 64)[None]
+
+
+def spatial_path_i8(sp, p1, p2):
+    """As ``spatial_path_i8_from_quad`` but from standard NHWC codes:
+    sp (1, h2, w2, 64) int8.  p1/p2: dicts with the packed weights
+    ("wa","wb","wo") and requant "m"/"c" (see
+    deploy/int8_serve.make_int8_through_infer).  The inter-stage
+    transforms are XLA minor-merge reshapes of row-major tensors (cheap
+    relayouts); stride-2 never appears outside the kernels."""
+    b, h2, w2, ch = sp.shape
+    assert b == 1 and ch == 64, sp.shape
+    return spatial_path_i8_from_quad(sp[0].reshape(h2, w2 // 4, 256),
+                                     p1, p2)
 
 
 # ----------------------------------------------------------------------
@@ -584,9 +724,18 @@ def l1_stage_i8_paired(pooled, W, mc, rr, *, nr: int = 8):
     f32 epilogue expression and op order."""
     b, h4, w4, ch = pooled.shape
     assert b == 1 and ch == 64 and w4 % 2 == 0, pooled.shape
+    return l1_stage_i8_paired_view(
+        pooled[0].reshape(h4, w4 // 2, 128), W, mc, rr, nr=nr)
+
+
+def l1_stage_i8_paired_view(xv, W, mc, rr, *, nr: int = 8):
+    """``l1_stage_i8_paired`` on the paired view directly: xv is the
+    (h4, w4/2, 128) tensor the v3 stem emits; returns standard NHWC
+    (1, h4, w4, 64) for the XLA stage-2 conv."""
+    h4, w2, lanes = xv.shape
+    assert lanes == 128, xv.shape
+    w4 = 2 * w2
     assert h4 % nr == 0 and nr % 4 == 0, (h4, nr)
-    w2 = w4 // 2
-    xv = pooled[0].reshape(h4, w2, 128)
     out = pl.pallas_call(
         functools.partial(_res_stage_kernel, nr, h4),
         grid=(h4 // nr,),
