@@ -92,6 +92,10 @@ def main(argv=None):
         jax.config.update("jax_num_cpu_devices", 8)
     import jax.numpy as jnp
 
+    from torchseg_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()  # family re-runs skip the minutes-long compile
+
     from torchseg_tpu import models
     from torchseg_tpu.data.loader import TrainLoader
     from torchseg_tpu.data.preprocess import SegTrainPre

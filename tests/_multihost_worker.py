@@ -79,11 +79,48 @@ def main():
     acc = ev.run_dataset(ds, mode="whole")  # shards by process automatically
     local_pixels = int(acc.hist.sum())
     merged = gather_metrics(acc.hist)
+
+    # dp2 x sp2 leg over the SAME cross-process mesh: GSPMD spatial
+    # trainer (parallel/spatial.py) with the batch on "data" (spanning
+    # both processes) and image height on "space" — the gloo/DCN
+    # counterpart of the single-process dp x sp dryrun
+    from torchseg_tpu.parallel import SpatialTrainer, make_dp_sp_mesh
+
+    sp_mesh = make_dp_sp_mesh(2, 2)  # all 4 global devices
+
+    class TinyG(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            # axis_name=None: GSPMD global-batch BN (SpatialTrainer rule)
+            x = ConvBnRelu(8, 3, 1, 1, norm=BatchNorm, name="c1")(x, train)
+            return {"main": nn.Conv(3, (1, 1), name="out")(x)}
+
+    sp_trainer = SpatialTrainer(TinyG(), loss_fn, PolyLR(0.2, 0.9, 100),
+                                mesh=sp_mesh)
+    # multihost: lift the (identical) host batches into GLOBAL arrays on
+    # the cross-process mesh — numpy inputs cannot take non-addressable
+    # shardings
+    from torchseg_tpu.parallel.spatial import batch_shardings
+
+    hbatch = {"image": images, "label": labels}
+    gbatch = jax.tree.map(
+        lambda x, sh: jax.make_array_from_callback(
+            x.shape, sh, lambda idx: x[idx]),
+        hbatch, batch_shardings(sp_mesh, hbatch))
+    sp_state = sp_trainer.init_state(jax.random.PRNGKey(0),
+                                     {"image": images[:1]})
+    sp_losses = []
+    for i in range(4):
+        sp_state, sp_loss, _ = sp_trainer.train_step(
+            sp_state, gbatch, jax.random.PRNGKey(20 + i))
+        sp_losses.append(float(sp_loss))
+
     print(json.dumps({
         "pid": pid,
         "losses": losses,
         "local_pixels": local_pixels,
         "merged_pixels": int(merged.sum()),
+        "sp_losses": sp_losses,
     }), flush=True)
 
 

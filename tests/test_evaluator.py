@@ -616,3 +616,40 @@ def test_ade_offset_protocol_matches_reference_oracle():
         "fixture must contain unlabeled pixels"
     np.testing.assert_array_equal(acc.hist, hist)
     assert acc.labeled == labeled and acc.correct == correct
+
+
+def test_eval_dtype_bf16_arm_runs_and_agrees():
+    """--eval-dtype bf16 (eval.py/make_evaluator): same weights, bf16
+    compute — the protocol must run end to end and argmax-agree with the
+    f32 arm on nearly all pixels (measured chip bound: docs/MODEL_ZOO.md
+    "bf16 eval arm")."""
+    import dataclasses
+
+    import jax
+
+    from torchseg_tpu.eval import make_evaluator
+    from torchseg_tpu.experiments.registry import (
+        build_model,
+        get_experiment,
+    )
+
+    cfg = dataclasses.replace(
+        get_experiment("cityscapes.bisenet.R18"),
+        num_classes=4, eval_crop_size=32, eval_scale_array=(1.0,),
+    )
+    model = build_model(cfg, axis_name=None)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 32, 3)), train=True)
+    ds = SyntheticDataset(num_items=2, image_hw=(48, 64), num_classes=4)
+
+    preds = {}
+    for dt in ("f32", "bf16"):
+        ev = make_evaluator(cfg, variables, eval_dtype=dt)
+        acc = ev.run_dataset(ds, mode="sliding")
+        assert np.isfinite(acc.scores()[1])
+        preds[dt] = np.stack(
+            [ev.sliding_eval(ds[i]["image"]) for i in range(len(ds))])
+    agree = (preds["f32"] == preds["bf16"]).mean()
+    assert agree > 0.95, agree

@@ -43,3 +43,9 @@ def test_two_process_training_and_eval_gather():
     assert a["local_pixels"] + b["local_pixels"] == n_pix
     assert 0 < a["local_pixels"] < n_pix
     assert a["merged_pixels"] == b["merged_pixels"] == n_pix
+
+    # dp2 x sp2 leg (GSPMD SpatialTrainer over the cross-process mesh):
+    # both processes agree on every loss and the loss decreases
+    np.testing.assert_allclose(a["sp_losses"], b["sp_losses"], rtol=1e-6)
+    assert len(a["sp_losses"]) >= 4
+    assert a["sp_losses"][-1] < a["sp_losses"][0]

@@ -99,6 +99,15 @@ def build_argparser():
                         "single-image full-res latency scales with the "
                         "mesh; the whole-mode counterpart of "
                         "--shard-crops")
+    p.add_argument("--eval-crop", type=int, default=None,
+                   help="override cfg.eval_crop_size (off-protocol sizes: "
+                        "small drills, other-resolution datasets)")
+    p.add_argument("--eval-base", type=int, default=None,
+                   help="override cfg.eval_base_size (with --eval-crop)")
+    p.add_argument("--eval-dtype", choices=("f32", "bf16"), default="f32",
+                   help="model compute dtype for accuracy eval: f32 is the "
+                        "reference protocol; bf16 roughly halves device "
+                        "ms/img (agreement bound: docs/MODEL_ZOO.md)")
     p.add_argument("-speed", "--speed", action="store_true",
                    help="run the FPS benchmark instead of accuracy eval")
     p.add_argument("--summary", action="store_true",
@@ -109,8 +118,16 @@ def build_argparser():
 
 
 def make_evaluator(cfg, variables, msf=False, devices=None,
-                   shard_crops=False, spatial_shards=1):
-    model = build_model(cfg, axis_name=None)
+                   shard_crops=False, spatial_shards=1, eval_dtype="f32"):
+    """eval_dtype: "f32" (reference protocol — the reference evaluates
+    in f32, furnace/engine/evaluator.py:186-275) or "bf16" (compute
+    dtype only: params stay f32, flax casts at use).  bf16 roughly
+    halves device ms/img on the sliding/msf protocols; measured
+    agreement bound in docs/MODEL_ZOO.md "bf16 eval arm"."""
+    import jax.numpy as jnp
+
+    dtype = {"f32": None, "bf16": jnp.bfloat16}[eval_dtype]
+    model = build_model(cfg, axis_name=None, dtype=dtype)
 
     def apply_fn(v, x):
         return model.apply(v, x, train=False)
@@ -190,6 +207,15 @@ def main(argv=None):
 
     enable_compile_cache()  # repeat runs skip the ~1 min compile
     cfg = get_experiment(args.experiment)
+    if args.eval_crop or args.eval_base:
+        import dataclasses
+
+        over = {}
+        if args.eval_crop:
+            over["eval_crop_size"] = args.eval_crop
+        if args.eval_base:
+            over["eval_base_size"] = args.eval_base
+        cfg = dataclasses.replace(cfg, **over)
     if args.sp > 1 and cfg.eval_mode != "whole":
         raise SystemExit(
             f"--sp shards the whole-image forward; {cfg.name} evaluates "
@@ -267,7 +293,8 @@ def main(argv=None):
         )
         ev = make_evaluator(cfg, variables, msf=args.msf, devices=devices,
                             shard_crops=args.shard_crops,
-                            spatial_shards=args.sp)
+                            spatial_shards=args.sp,
+                            eval_dtype=args.eval_dtype)
         acc = evaluate_checkpoint(cfg, variables, dataset, args.save_path,
                                   msf=args.msf, ev=ev,
                                   submit_dir=args.submit,
@@ -290,7 +317,8 @@ def main(argv=None):
             ev = make_evaluator(cfg, variables, msf=args.msf,
                                 devices=devices,
                                 shard_crops=args.shard_crops,
-                                spatial_shards=args.sp)
+                                spatial_shards=args.sp,
+                                eval_dtype=args.eval_dtype)
         acc = evaluate_checkpoint(
             cfg, variables, dataset, args.save_path, msf=args.msf, ev=ev,
             submit_dir=args.submit, show_image=args.show_image,

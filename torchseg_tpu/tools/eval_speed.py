@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--shard-crops", action="store_true")
     p.add_argument("--sp", type=int, default=1,
                    help="spatial shards for the whole protocol")
+    p.add_argument("--eval-dtype", choices=("f32", "bf16"), default="f32",
+                   help="model compute dtype (eval.py --eval-dtype); bf16 "
+                        "roughly halves device ms/img — agreement bound in "
+                        "docs/MODEL_ZOO.md")
     p.add_argument("--device-time", action="store_true",
                    help="also report per-image DEVICE time (sum of XLA "
                         "module durations over one profiled pass) — the "
@@ -77,7 +81,8 @@ def main(argv=None):
                                num_classes=cfg.num_classes)
     ev = make_evaluator(cfg, variables, msf=args.msf,
                         shard_crops=args.shard_crops,
-                        spatial_shards=args.sp)
+                        spatial_shards=args.sp,
+                        eval_dtype=args.eval_dtype)
     mode = args.mode or cfg.eval_mode
     if args.sp > 1 and mode != "whole":
         # mirror eval.py:193's guard — spatial shards only support the
@@ -108,7 +113,8 @@ def main(argv=None):
     ms = best / args.n * 1000
     tag = "msf" if args.msf else "ss"
     print(f"  {tag} {mode}: {ms:.1f} ms/img ({1000.0 / ms:.2f} img/s)")
-    out = {"ms_per_img": ms, "mode": mode, "msf": args.msf}
+    out = {"ms_per_img": ms, "mode": mode, "msf": args.msf,
+           "dtype": args.eval_dtype}
 
     if args.device_time:
         import glob
