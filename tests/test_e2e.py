@@ -26,6 +26,7 @@ from torchseg_tpu.experiments.registry import (
     get_experiment,
 )
 import dataclasses
+import pytest
 
 
 def _tiny_cfg():
@@ -126,6 +127,7 @@ def test_parallel_helpers():
     assert len(sharded["image"].sharding.device_set) == 8
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_dfn_train_step_with_aux_labels():
     """DFN: CE smooth heads + focal border heads against the Canny aux label
     batch key, through the full shard_map step."""
@@ -159,6 +161,7 @@ def test_dfn_train_step_with_aux_labels():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_pspnet_train_step_with_dropout():
     """PSPNet: dilated backbone + PPM + dropout rng + log-softmax CE."""
     cfg = get_experiment("ade.pspnet.R50_v1c")

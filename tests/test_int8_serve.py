@@ -276,6 +276,7 @@ def test_missing_calibration_key_is_actionable():
                            image_mean=MEAN, image_std=STD)
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_speed_cli_int8_through(capsys):
     from torchseg_tpu.tools.speed import main as speed_main
 
@@ -293,6 +294,7 @@ def test_speed_cli_int8_through(capsys):
     assert res["fps"] > 0
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_speed_cli_int8_decoder(capsys):
     from torchseg_tpu.tools.speed import main as speed_main
 
@@ -335,6 +337,7 @@ def test_int8_package_save_load_roundtrip(tmp_path):
                                   np.asarray(infer2(run2, xs)))
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_int8_through_pspnet_matches_float_graph():
     """The dilated Bottleneck backbone (deep stem, os8) int8-through +
     bf16 PPM head must track the float PSPNet graph."""
@@ -385,6 +388,7 @@ def test_int8_backbone_rejects_classic_stem():
             {}, depth=50, image_mean=MEAN, image_std=STD)
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_int8_through_psanet_matches_float_graph():
     """PSANet over the same int8 Bottleneck body (PSA head bf16 via the
     context_blocks passthrough)."""
@@ -419,6 +423,7 @@ def test_int8_through_psanet_matches_float_graph():
     assert agree > 0.8, agree
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_int8_through_dfn_matches_float_graph():
     """DFN over the int8 NON-dilated R101 body: the dual-branch decoder
     reads every stage's values, so all four dequantize (dequant_all)."""
@@ -456,6 +461,7 @@ def test_int8_through_dfn_matches_float_graph():
     assert agree > 0.8, agree
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_int8_through_fcn_matches_float_graph():
     """FCN-32s over the int8 standard-stride R101 body."""
     from torchseg_tpu.deploy.int8_serve import (
@@ -490,6 +496,7 @@ def test_int8_through_fcn_matches_float_graph():
     assert agree > 0.8, agree
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_int8_through_bisenet_r101_matches_float_graph():
     """BiSeNet-R101: int8 spatial path + int8 deep-stem Bottleneck body +
     bf16 decoder — the last zoo combination."""
@@ -548,6 +555,7 @@ def test_int8_decoder_x39_matches_float_graph():
     assert agree > 0.85, agree
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_int8_package_save_load_roundtrip_bottleneck(tmp_path):
     """Round-trip the recursive statics split/merge on a Bottleneck
     package ('layers' tuple + per-block 'stride'/'dilation' ints) — the
@@ -587,6 +595,7 @@ def test_int8_package_save_load_roundtrip_bottleneck(tmp_path):
                                   np.asarray(infer2(run2, xs)))
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_int8_package_save_load_roundtrip_bisenet_r101(tmp_path):
     """Round-trip the nested 'bb' subtree of the bisenet_r101 package."""
     from torchseg_tpu.deploy.int8_serve import (

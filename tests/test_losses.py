@@ -356,6 +356,7 @@ def test_fused_upsampled_ohem_scale1_passthrough():
     assert float(a) == float(b)
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_fused_head_loss_registry_equivalence(monkeypatch):
     """With the FUSED_UPSAMPLE_LOSS gate flipped, build_model+build_loss_fn
     produce the same loss and the same parameter gradients as the
@@ -453,6 +454,7 @@ def test_fused_upsampled_ce_matches_materialized():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_fused_ce_registry_equivalence_pspnet(monkeypatch):
     """Gate flipped, PSPNet-R50 (ce loss, pre_log_softmax quirk): same loss
     and parameter gradients as the materialized in-model upsample path."""
@@ -499,6 +501,7 @@ def test_fused_ce_registry_equivalence_pspnet(monkeypatch):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_fused_dfn_registry_equivalence(monkeypatch):
     """Gate flipped, DFN (4 smooth heads x32/x16/x8/x4 + border focal):
     same loss and parameter gradients as the materialized path."""

@@ -66,6 +66,7 @@ def test_psanet_offsize_resizes_attention_grid():
     assert jnp.allclose(s, 0.0, atol=1e-4)
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_psanet_offsize_memory_cliff_raises():
     """Whole-image-scale off-size inputs must fail with an actionable error
     BEFORE XLA tries to materialize the (b, h, w, h, w) attention tensor

@@ -149,6 +149,7 @@ def test_stem_conv7x7_s2_matches_xla():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_deploy_fused_argmax_epilogue_matches_reference_path():
     """make_bisenet_fused_infer(argmax='fused') must predict the same classes
     as the standard eval forward (log_softmax of the upsampled head)."""

@@ -1116,11 +1116,15 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
             if isinstance(v, dict) else v)
         for k, v in pkg.items() if k != "kind"
     }
-    if stem_mode == "pallas" and kind == "r18":
+    if stem_mode == "pallas" and tuple(
+            pkg["sp1"]["w"].shape) == (3, 3, 64, 64):
         # pre-pack the spatial-path conv weights for the Pallas quad
         # kernels (ops/pallas/int8_serve_kernels.conv3x3s2_i8_quad):
         # exact int8 codes carried in bf16, f32 accumulation — the
-        # kernel is bit-identical to _qconv + _requant (docstring there)
+        # kernel is bit-identical to _qconv + _requant (docstring there).
+        # Both classic-stem kinds share the BiSeNet SpatialPath geometry,
+        # so X39 gets the spatial-path kernels too (its stem/body stay
+        # XLA: xception depthwise blocks)
         from ..ops.pallas.int8_serve_kernels import (
             pack_conv3x3_weights,
             pack_resblock_weights,
@@ -1132,7 +1136,8 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                 "wa": wa, "wb": wb, "wo": wo,
                 "m": pkg[name]["m"], "c": pkg[name]["c"],
             }
-        if (strides.get("l1_0") == 1 and strides.get("l1_1") == 1
+        if (kind == "r18"
+                and strides.get("l1_0") == 1 and strides.get("l1_1") == 1
                 and "down" not in pkg["l1_0"]
                 and pkg["l1_0"]["conv1"]["w"].shape == (3, 3, 64, 64)):
             l1w, l1mc, l1rr = pack_resblock_weights(pkg["l1_0"],
@@ -1232,7 +1237,7 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                                            pkg["sp2q"])
         else:
             sp_pallas = False
-            if stem_mode == "pallas" and kind == "r18" \
+            if stem_mode == "pallas" \
                     and sp_q.dtype == jnp.int8 and "sp1q" in pkg:
                 from ..ops.pallas.int8_serve_kernels import (
                     spatial_path_i8,

@@ -58,6 +58,17 @@ def main(argv=None):
     p.add_argument("--measured-ms", type=float, default=None,
                    help="measured device time to compare against the "
                         "roofline bound")
+    p.add_argument("--trace", action="store_true",
+                   help="ALSO execute the graph on the attached device "
+                        "under the profiler and report measured per-run "
+                        "HBM bytes (xprof op_profile memory breakdown) "
+                        "and device ms — a far tighter bandwidth bound "
+                        "than the cost-analysis bytes upper bound.  "
+                        "Caveat: Pallas custom-call traffic is not "
+                        "modeled by XLA's cost model (counted as 0); "
+                        "the tool reports the custom-call share so the "
+                        "gap is visible")
+    p.add_argument("--trace-runs", type=int, default=6)
     p.add_argument("--deploy", action="store_true",
                    help="analyze the bf16 fused-stem SERVING graph "
                         "(s2d input + argmax epilogue, deploy/fused_stem) "
@@ -119,8 +130,9 @@ def main(argv=None):
                                       params, grads)
             return loss, new_params, st
 
-        lowered = jax.jit(step).lower(
-            variables["params"], variables["batch_stats"], batch)
+        fn, fargs = step, (variables["params"], variables["batch_stats"],
+                           batch)
+        lowered = jax.jit(step).lower(*fargs)
         what = (f"train step bs={b} "
                 f"@{cfg.image_height}x{cfg.image_width}")
     else:
@@ -150,6 +162,7 @@ def main(argv=None):
                 calib_images=[rng.integers(0, 255, (b, h // 2, w // 2, 3))
                               .astype(np.uint8) for _ in range(2)])
             xs = prepare(rng.integers(0, 255, shape).astype(np.uint8))
+            fn, fargs = infer, (run_pkg, xs)
             lowered = jax.jit(infer).lower(run_pkg, xs)
             what += " [int8-through serving]"
         elif args.deploy:
@@ -168,6 +181,7 @@ def main(argv=None):
             xs = prepare_s2d_input(
                 rng.normal(size=shape).astype(np.float32),
                 dtype=dtype or jnp.float32)
+            fn, fargs = fwd, (variables, xs)
             lowered = jax.jit(fwd).lower(variables, xs)
             what += " [bf16 fused-stem serving]"
         else:
@@ -178,6 +192,7 @@ def main(argv=None):
             def fwd(variables, x):
                 return model.apply(variables, x, train=False)
 
+            fn, fargs = fwd, (variables, x)
             lowered = jax.jit(fwd).lower(variables, x)
 
     flops, bytes_acc = _cost(lowered.compile())
@@ -201,7 +216,76 @@ def main(argv=None):
         print(f"  measured {args.measured_ms:.3f} ms -> "
               f"{100 * util:.0f}% of speed-of-light")
         res["sol_fraction"] = util
+    if args.trace:
+        res.update(_trace_hbm(fn, fargs, args.trace_runs, args.peak_gbs,
+                              args.peak_tflops))
     return res
+
+
+def _trace_hbm(fn, fargs, runs, peak_gbs, peak_tflops):
+    """Execute ``runs`` forwards under the profiler; report measured
+    device ms + per-run HBM bytes from xprof's op_profile memory
+    breakdown (rawBytesAccessedArray[0] == HBM for the TPU plane)."""
+    import glob
+    import json as _json
+    import tempfile
+
+    import jax
+
+    compiled = jax.jit(fn)
+    jax.block_until_ready(compiled(*fargs))  # compile + warm
+    logdir = tempfile.mkdtemp(prefix="roofline_trace_")
+    with jax.profiler.trace(logdir):
+        for _ in range(runs):
+            jax.block_until_ready(compiled(*fargs))
+
+    path = sorted(glob.glob(logdir + "/plugins/profile/*/*.xplane.pb"))[-1]
+
+    # device ms: min XLA-module duration over the runs
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    space = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        space.ParseFromString(f.read())
+    times = []
+    for plane in space.planes:
+        if "TPU" not in plane.name:
+            continue
+        for line in plane.lines:
+            if line.name == "XLA Modules":
+                times.extend(ev.duration_ps / 1e9 for ev in line.events)
+    dev_ms = min(times) if times else float("nan")
+    n_mod = max(len(times), 1)
+
+    from xprof.convert import raw_to_tool_data as rtd
+
+    data, _ctype = rtd.xspace_to_tool_data([path], "op_profile", {})
+    d = _json.loads(data)
+    root = d.get("byProgram") or d
+    progs = [c for c in root.get("children", [])
+             if c.get("name") != "IDLE"]
+    if not progs:
+        print("  (trace: no program nodes in op_profile)")
+        return {}
+    prog = max(progs, key=lambda c: c["metrics"].get("rawTime", 0))
+    m = prog["metrics"]
+    hbm_total = float(m["rawBytesAccessedArray"][0])
+    hbm_run = hbm_total / n_mod
+    sol_meas = hbm_run / (peak_gbs * 1e9) * 1e3
+    cc_ps = sum(c["metrics"].get("rawTime", 0)
+                for c in prog.get("children", [])
+                if "custom-call" in c.get("name", ""))
+    cc_ms = cc_ps / 1e9 / n_mod
+    print(f"  traced {n_mod} runs: device {dev_ms:.3f} ms | measured HBM "
+          f"{hbm_run:.3e} B/run -> bandwidth bound {sol_meas:.3f} ms "
+          f"@ {peak_gbs:.0f} GB/s")
+    if cc_ms > 0:
+        print(f"  (custom-call [Pallas] time {cc_ms:.3f} ms/run carries "
+              f"UNMODELED HBM traffic — the measured-bytes bound excludes "
+              f"it)")
+    return {"trace_device_ms": dev_ms, "trace_hbm_bytes_per_run": hbm_run,
+            "trace_sol_bandwidth_ms": sol_meas,
+            "trace_custom_call_ms": cc_ms}
 
 
 if __name__ == "__main__":
