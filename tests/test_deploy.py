@@ -65,6 +65,7 @@ def test_fused_infer_argmax_wrapper():
     )
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_fused_stem_x39_matches_plain():
     """X39's 3x3/2 ConvBnRelu stem center-embedded in the fused 7x7 conv
     must match (both input formats).  Tolerance is looser than the R18

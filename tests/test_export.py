@@ -44,6 +44,7 @@ def _model_and_vars(dtype=jnp.bfloat16):
     return cfg, model, variables
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_artifact_roundtrip_bitexact(tmp_path):
     """serialize → deserialize → call == the live jitted forward, and the
     artifact carries no reference to the model/variables objects."""
@@ -129,6 +130,7 @@ def test_export_cli_and_meta(tmp_path):
     assert meta["weights_source"] == "random-init"
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_export_embeds_checkpoint_weights(tmp_path):
     """--checkpoint: the embedded weights are the checkpoint's, not the
     random init (two artifacts from different params disagree)."""

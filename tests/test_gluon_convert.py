@@ -55,6 +55,7 @@ def test_gluon_rename_matches_reference():
     }
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_graft_gluon_backbone_end_to_end():
     """A gluon-named deep-stem tensor set must land in the right Flax
     leaves with the OIHW->HWIO transpose, through the same non-strict

@@ -247,6 +247,7 @@ def test_int8_package_decoder_arg_validation():
                            decoder="fp8")
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_int8_package_rejects_unsupported_backbone():
     model = models.bisenet_r101(num_classes=19)
     x = jnp.zeros((1, 64, 128, 3))

@@ -110,6 +110,7 @@ def test_bisenet_variants(factory, kwargs):
     assert pred.shape == ((1, 8, 8, 19) if speed else (1, 64, 64, 19))
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_dfn():
     m = models.dfn_r101(num_classes=19)
     x = jnp.zeros((1, 64, 64, 3))
@@ -123,6 +124,7 @@ def test_dfn():
     assert pred.shape == (1, 64, 64, 19)
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_remat_backbone_gradients():
     """jax.checkpoint'ed blocks must give the same loss/grads."""
     import numpy as np
@@ -146,6 +148,7 @@ def test_remat_backbone_gradients():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_extension_experiments_build():
     """CamVid / PASCAL-Context extension experiments construct and run."""
     import dataclasses

@@ -64,6 +64,7 @@ def test_single_conv_quantization_error_bound():
     assert np.abs(got - want).max() > 1e-6
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_skip_patterns_keep_layers_float():
     m = TinyNet()
     v, x = _init(m, (1, 16, 16, 3))

@@ -45,6 +45,7 @@ def test_speed_deploy_guard_rejects_non_bisenet():
                     "--chain", "1", "--reps", "1", "--deploy"])
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_collect_op_times_cpu_fallback():
     """The per-op runtime report (the reference stat tool's duration table,
     reporter.py:22-93) must work on the CPU backend too: thunk events stand
@@ -65,6 +66,7 @@ def test_collect_op_times_cpu_fallback():
     assert len(table.splitlines()) <= 7
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_speed_summary_prints_op_table(capsys):
     """eval --summary path: params/FLOPs AND the top-op table."""
     from torchseg_tpu.tools.speed import main as speed_main
@@ -92,6 +94,7 @@ def test_train_speed_memory_only(capsys):
     assert "high-water" in capsys.readouterr().out
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_roofline_forward_and_train(capsys):
     """Roofline analysis lowers both graphs and reports positive FLOPs,
     bytes, and speed-of-light bounds."""

@@ -19,6 +19,7 @@ def _args(exp, tmp_path, extra=()):
     ]
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_speed_experiment_device_augment_trains(tmp_path):
     """gt_down_sampling=8 experiments must train under --device-augment:
     labels arrive at /8 matching the heads' /8 logits (used to shape-error

@@ -1116,15 +1116,17 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
             if isinstance(v, dict) else v)
         for k, v in pkg.items() if k != "kind"
     }
-    if stem_mode == "pallas" and tuple(
+    if stem_mode == "pallas" and kind == "r18" and tuple(
             pkg["sp1"]["w"].shape) == (3, 3, 64, 64):
         # pre-pack the spatial-path conv weights for the Pallas quad
         # kernels (ops/pallas/int8_serve_kernels.conv3x3s2_i8_quad):
         # exact int8 codes carried in bf16, f32 accumulation — the
         # kernel is bit-identical to _qconv + _requant (docstring there).
-        # Both classic-stem kinds share the BiSeNet SpatialPath geometry,
-        # so X39 gets the spatial-path kernels too (its stem/body stay
-        # XLA: xception depthwise blocks)
+        # r18-kind only: the X39 arm was MEASURED SLOWER (2.92 vs
+        # 1.91 ms @768x1536, round-5 chip A/B in DESIGN.md) — without
+        # the v3 stem emitting the quad view, the std->quad boundary
+        # relayouts around the kernels cost more than the sp convs save
+        # at X39's resolution (and X39 ships bf16 deploy regardless)
         from ..ops.pallas.int8_serve_kernels import (
             pack_conv3x3_weights,
             pack_resblock_weights,
@@ -1237,7 +1239,7 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                                            pkg["sp2q"])
         else:
             sp_pallas = False
-            if stem_mode == "pallas" \
+            if stem_mode == "pallas" and kind == "r18" \
                     and sp_q.dtype == jnp.int8 and "sp1q" in pkg:
                 from ..ops.pallas.int8_serve_kernels import (
                     spatial_path_i8,
