@@ -106,7 +106,7 @@ def build_argparser():
                    help="override cfg.eval_base_size (with --eval-crop)")
     p.add_argument("--eval-dtype", choices=("f32", "bf16"), default="f32",
                    help="model compute dtype for accuracy eval: f32 is the "
-                        "reference protocol; bf16 roughly halves device "
+                        "reference protocol; bf16 shaves ~10% device "
                         "ms/img (agreement bound: docs/MODEL_ZOO.md)")
     p.add_argument("-speed", "--speed", action="store_true",
                    help="run the FPS benchmark instead of accuracy eval")

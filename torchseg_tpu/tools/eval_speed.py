@@ -40,7 +40,7 @@ def main(argv=None):
                    help="spatial shards for the whole protocol")
     p.add_argument("--eval-dtype", choices=("f32", "bf16"), default="f32",
                    help="model compute dtype (eval.py --eval-dtype); bf16 "
-                        "roughly halves device ms/img — agreement bound in "
+                        "shaves ~10% device ms/img — agreement bound in "
                         "docs/MODEL_ZOO.md")
     p.add_argument("--device-time", action="store_true",
                    help="also report per-image DEVICE time (sum of XLA "
