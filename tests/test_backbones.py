@@ -5,6 +5,7 @@ the documented architecture (SURVEY.md §2.1 backbone rows) — not against the
 reference source.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,7 @@ def test_resnet18_shapes_and_params():
     assert _n_params(variables["params"]) == 11_176_512
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_resnet50_v1c_shapes():
     model = resnet50(deep_stem=True, stem_width=64)
     x = jnp.zeros((1, 64, 64, 3))
@@ -84,6 +86,7 @@ def test_dilated_param_count_unchanged():
     assert np_plain == np_dilated
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_xception39_shapes():
     model = xception39()
     x = jnp.zeros((1, 224, 224, 3))

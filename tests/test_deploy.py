@@ -1,5 +1,6 @@
 """Deploy-time fused stem == standard eval forward, bit-for-bit in f32."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -153,7 +154,6 @@ def test_fused_infer_tiled_argmax_full_model():
 
 
 def test_tiled_argmax_rejected_for_speed_heads():
-    import pytest
 
     cfg = get_experiment("cityscapes.bisenet.R18.speed")
     model = build_model(cfg, axis_name=None)

@@ -170,10 +170,10 @@ def test_l1_stage_bit_exact_vs_apply_block():
         return e
 
     e1, e2 = mk_block(rng), mk_block(rng)
-    x = jnp.asarray(rng.integers(0, 128, (1, 16, 16, 64)), jnp.int8)
+    x = jnp.asarray(rng.integers(0, 128, (1, 8, 16, 64)), jnp.int8)
     ref = _apply_block(_apply_block(x, e1, 1), e2, 1)
     W, mc, rr = pack_resblock_weights(e1, e2)
-    got = l1_stage_i8_paired(x, W, mc, rr)
+    got = l1_stage_i8_paired(x, W, mc, rr, nr=4)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 

@@ -93,6 +93,7 @@ def test_psanet_non_square_grid_offsize_raises():
         (models.bisenet_r101, {}),
     ],
 )
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_bisenet_variants(factory, kwargs):
     m = factory(num_classes=19, **kwargs)
     x = jnp.zeros((1, 64, 64, 3))

@@ -1,6 +1,7 @@
 """Tools tests: stats table + XLA FLOPs totals, and the speed harness on a
 tiny model (CPU)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -36,7 +37,6 @@ def test_compute_speed_runs():
 def test_speed_deploy_guard_rejects_non_bisenet():
     """--deploy requires the classic-stem BiSeNet param layout; anything
     else must exit with an actionable message, not a KeyError."""
-    import pytest
 
     from torchseg_tpu.tools.speed import main as speed_main
 
@@ -81,6 +81,7 @@ def test_speed_summary_prints_op_table(capsys):
     assert "conv" in out
 
 
+@pytest.mark.slow  # heavy tier: whole-graph compile dominates (TESTING.md)
 def test_train_speed_memory_only(capsys):
     """--memory-only compiles the train step AOT and reports XLA's
     per-device memory analysis without executing."""
