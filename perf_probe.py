@@ -252,6 +252,55 @@ def main():
         print(f"[augment] device {ms:.3f} ms for bs2 1024x2048 -> 1024^2")
         return
 
+    if args.variant.startswith("int8"):
+        # int8-through serving graph per-op profile (the round-5 kernel
+        # chain's measurement harness).  "int8" = shipped defaults;
+        # "int8-xla" forces the round-4 XLA arms (stem_mode="s8");
+        # "int8-l1nr16" / "int8-l2nr16" / "int8-nr16" override the fused
+        # stage kernels' block sizes for the halo-amortization A/B.
+        from torchseg_tpu.deploy import int8_serve as _i8
+        from torchseg_tpu.deploy.int8_serve import (
+            build_int8_serving_for_experiment,
+        )
+
+        if "nr16" in args.variant:
+            if "l1nr16" in args.variant or args.variant == "int8-nr16":
+                _i8._L1_NR = 16
+            if "l2nr16" in args.variant or args.variant == "int8-nr16":
+                _i8._L2_NR = 16
+        from torchseg_tpu.experiments.registry import (
+            build_model as _bm,
+            get_experiment as _ge,
+        )
+
+        cfg = _ge("cityscapes.bisenet.R18.speed")
+        model = _bm(cfg, axis_name=None, dtype=jnp.bfloat16)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}
+        variables = model.init(rngs, jnp.zeros((1, 64, 128, 3)),
+                               train=True)
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, variables)
+        rng = np.random.default_rng(0)
+        shape = (1, args.height, args.width, 3)
+        calib = [rng.integers(0, 255, shape).astype(np.uint8)
+                 for _ in range(2)]
+        stem_mode = "s8" if args.variant == "int8-xla" else None
+        infer, run_pkg, prepare, _prep = build_int8_serving_for_experiment(
+            cfg, model, variables, calib_images=calib,
+            stem_mode=stem_mode)
+        ms = measure(
+            infer, run_pkg,
+            lambda seed: jnp.asarray(prepare(
+                np.random.default_rng(seed + 1).integers(
+                    0, 255, shape).astype(np.uint8))),
+            tag=args.variant, top_ops=args.top_ops,
+        )
+        print(f"[{args.variant}] device {ms:.3f} ms "
+              f"({1000.0 / ms:.1f} FPS) @ {args.height}x{args.width}")
+        return
+
     from torchseg_tpu.deploy.fused_stem import (
         _fused_stem_s2d,
         prepare_s2d_input,

@@ -67,6 +67,37 @@ def test_int8_through_matches_float_graph():
     assert agree > 0.90, agree
 
 
+@pytest.mark.slow  # interpret-mode Pallas chain: whole-graph emulation
+def test_int8_through_pallas_chain_matches_xla_arm():
+    """stem_mode='pallas' (v3 stem -> quad spatial path -> fused L1 ->
+    fused L2 kernels) vs the XLA bf16-stem arm: the conv/L1/L2 kernels
+    are bit-identical, the stem within +-1 code on f32-summation ties —
+    end-to-end argmax agreement must be near-exact (chip-size exactness
+    is rechecked in DESIGN.md's round-5 tables)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    model, variables, img, xf = _setup()
+    stats = calibrate(model, variables, [xf])
+    pkg = build_int8_package(variables, stats,
+                             image_mean=MEAN, image_std=STD)
+    xs = prepare_s2d_input_u8(img, image_mean=MEAN)
+
+    infer_x, run_x = make_int8_through_infer(
+        model, variables, pkg, argmax=True, stem_mode="bf16")
+    ref = np.asarray(infer_x(run_x, xs))
+
+    infer_p, run_p = make_int8_through_infer(
+        model, variables, pkg, argmax=True, stem_mode="pallas")
+    # the fused-kernel package rows must actually be packed (the chain
+    # engages at this geometry: h2=32, w2=64 passes every shape gate)
+    assert "l1q" in run_p and "l2q" in run_p and "sp1q" in run_p
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(infer_p(run_p, xs))
+    assert got.shape == ref.shape
+    agree = (got == ref).mean()
+    assert agree > 0.97, agree
+
+
 @pytest.mark.parametrize("kw", [
     {"maxpool_via": "bf16"},
     {"spatial_carry": "bf16"},

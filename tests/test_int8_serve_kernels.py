@@ -182,3 +182,82 @@ def test_spatial_path_shape_gate():
     assert spatial_path_shapes_ok(384, 768)
     assert not spatial_path_shapes_ok(510, 1024)
     assert not spatial_path_shapes_ok(512, 1020)
+
+
+def _mk_l2_blocks(rng):
+    def mk_cbr(cin, cout, shape=(3, 3)):
+        return {
+            "w": jnp.asarray(
+                rng.integers(-127, 128, shape + (cin, cout)), jnp.int8),
+            "m": jnp.asarray(rng.uniform(1e-5, 8e-5, (cout,)), jnp.float32),
+            "c": jnp.asarray(rng.normal(size=(cout,)) * 0.4, jnp.float32),
+        }
+
+    e0 = {"conv1": mk_cbr(64, 128), "conv2": mk_cbr(128, 128),
+          "down": mk_cbr(64, 128, shape=(1, 1))}
+    e1 = {"conv1": mk_cbr(128, 128), "conv2": mk_cbr(128, 128),
+          "res_ratio": jnp.asarray(rng.uniform(0.3, 0.9), jnp.float32)}
+    return e0, e1
+
+
+def test_l2_stage_bit_exact_vs_apply_block():
+    from torchseg_tpu.deploy.int8_serve import _apply_block
+    from torchseg_tpu.ops.pallas.int8_serve_kernels import (
+        l2_stage_i8_from_paired,
+        l2_stage_shapes_ok,
+        pack_l2_weights,
+    )
+
+    rng = np.random.default_rng(7)
+    e0, e1 = _mk_l2_blocks(rng)
+    h4, w4 = 16, 32
+    x = jnp.asarray(rng.integers(0, 128, (1, h4, w4, 64)), jnp.int8)
+    ref = _apply_block(_apply_block(x, e0, 2), e1, 1)
+    wc1, wd, w3, mc, rr = pack_l2_weights(e0, e1)
+    assert l2_stage_shapes_ok(h4, w4, nr=4)
+    got = l2_stage_i8_from_paired(
+        x[0].reshape(h4, w4 // 2, 128), wc1, wd, w3, mc, rr, nr=4)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_l1_paired_out_is_the_paired_view():
+    from torchseg_tpu.ops.pallas.int8_serve_kernels import (
+        l1_stage_i8_paired_view,
+        pack_resblock_weights,
+    )
+
+    rng = np.random.default_rng(8)
+
+    def mk_block(r):
+        e = {}
+        for conv in ("conv1", "conv2"):
+            e[conv] = {
+                "w": jnp.asarray(r.integers(-127, 128, (3, 3, 64, 64)),
+                                 jnp.int8),
+                "m": jnp.asarray(r.uniform(1e-5, 8e-5, (64,)),
+                                 jnp.float32),
+                "c": jnp.asarray(r.normal(size=(64,)) * 0.4, jnp.float32),
+            }
+        e["res_ratio"] = jnp.asarray(r.uniform(0.3, 0.9, (64,)),
+                                     jnp.float32)
+        return e
+
+    e1, e2 = mk_block(rng), mk_block(rng)
+    W, mc, rr = pack_resblock_weights(e1, e2)
+    x = jnp.asarray(rng.integers(0, 128, (8, 8, 128)), jnp.int8)
+    std = l1_stage_i8_paired_view(x, W, mc, rr, nr=4)
+    raw = l1_stage_i8_paired_view(x, W, mc, rr, nr=4, paired_out=True)
+    np.testing.assert_array_equal(
+        np.asarray(std), np.asarray(raw).reshape(8, 16, 64)[None])
+
+
+def test_l2_stage_shape_gate():
+    from torchseg_tpu.ops.pallas.int8_serve_kernels import (
+        l2_stage_shapes_ok,
+    )
+
+    assert l2_stage_shapes_ok(256, 512, nr=8)   # 1024x2048 serving
+    assert l2_stage_shapes_ok(16, 32, nr=4)
+    assert not l2_stage_shapes_ok(20, 32, nr=4)  # h8=10 % 4 != 0
+    assert not l2_stage_shapes_ok(16, 31, nr=4)  # odd width
+    assert not l2_stage_shapes_ok(16, 32, nr=2)  # nr % 4 != 0

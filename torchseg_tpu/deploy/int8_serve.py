@@ -879,6 +879,21 @@ def load_int8_package(path: str) -> dict:
 # device-side forward pieces
 # ----------------------------------------------------------------------
 
+# fused-stage kernel block sizes (output rows per grid step).  Larger
+# blocks amortize the recomputed halo rows ((nr+6..nr)/nr per level);
+# chip A/B'd in DESIGN.md round-5 — callers degrade to any nr%4==0
+# divisor at odd geometries.
+_L1_NR = 8
+_L2_NR = 8
+
+
+def _pick_stage_nr(rows: int, pref: int) -> int:
+    for nr in (pref, 16, 8, 4):
+        if nr % 4 == 0 and rows % nr == 0:
+            return nr
+    return 4
+
+
 def _qconv(xq, wq, stride, pad, dilation=1):
     if xq.dtype == jnp.bfloat16:
         # bf16-carried int8 conv: the activations are int8 VALUES stored
@@ -1145,6 +1160,19 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
             l1w, l1mc, l1rr = pack_resblock_weights(pkg["l1_0"],
                                                     pkg["l1_1"])
             run_pkg["l1q"] = {"W": l1w, "mc": l1mc, "rr": l1rr}
+            # stage 2 rides the same chain (consumes the L1 kernel's
+            # paired view directly; round-5 session: the 5 l2 convs +
+            # their s8 operand fusions are the next per-op block)
+            if (strides.get("l2_0") == 2 and strides.get("l2_1") == 1
+                    and "down" in pkg["l2_0"]
+                    and pkg["l2_0"]["conv1"]["w"].shape == (3, 3, 64, 128)
+                    and pkg["l2_0"]["down"]["w"].shape == (1, 1, 64, 128)):
+                from ..ops.pallas.int8_serve_kernels import pack_l2_weights
+
+                wc1, wd, w3, l2mc, l2rr = pack_l2_weights(pkg["l2_0"],
+                                                          pkg["l2_1"])
+                run_pkg["l2q"] = {"Wc1": wc1, "Wd": wd, "W3": w3,
+                                  "mc": l2mc, "rr": l2rr}
 
     @jax.jit
     def infer(pkg, xs):
@@ -1273,20 +1301,41 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
         feats = []
         apply_block = _apply_block if kind == "r18" else _apply_xblock
         last_stage = stages[-1][0]
+        l1_raw = None  # L1 kernel's paired view, for the L2 kernel
         for li, nblocks in stages:
             if li == 1 and l1_pallas:
                 from ..ops.pallas.int8_serve_kernels import (
-                    l1_stage_i8_paired,
                     l1_stage_i8_paired_view,
+                    l2_stage_shapes_ok,
                 )
 
                 q1 = pkg["l1q"]
-                if pooled_view is not None:
-                    x = l1_stage_i8_paired_view(
-                        pooled_view, q1["W"], q1["mc"], q1["rr"])
-                else:
-                    x = l1_stage_i8_paired(x, q1["W"], q1["mc"],
-                                           q1["rr"])
+                xv = (pooled_view if pooled_view is not None
+                      else x[0].reshape(x.shape[1], x.shape[2] // 2, 128))
+                l1_raw = l1_stage_i8_paired_view(
+                    xv, q1["W"], q1["mc"], q1["rr"],
+                    nr=_pick_stage_nr(xv.shape[0], _L1_NR),
+                    paired_out=True)
+                h4, w4 = l1_raw.shape[0], 2 * l1_raw.shape[1]
+                x = l1_raw.reshape(h4, w4, 64)[None]
+                if not ("l2q" in pkg and l2_stage_shapes_ok(
+                        h4, w4, nr=_pick_stage_nr(h4 // 2, _L2_NR))):
+                    l1_raw = None
+                feats.append(x)
+                continue
+            if li == 2 and l1_raw is not None:
+                # fused stage-2 kernel on the L1 kernel's paired view —
+                # zero XLA relayout between the stages (bit-identical
+                # to the chained _apply_block path)
+                from ..ops.pallas.int8_serve_kernels import (
+                    l2_stage_i8_from_paired,
+                )
+
+                q2 = pkg["l2q"]
+                h4 = l1_raw.shape[0]
+                x = l2_stage_i8_from_paired(
+                    l1_raw, q2["Wc1"], q2["Wd"], q2["W3"], q2["mc"],
+                    q2["rr"], nr=_pick_stage_nr(h4 // 2, _L2_NR))
                 feats.append(x)
                 continue
             for bi in range(nblocks):

@@ -303,7 +303,13 @@ def pack_stem_input_x32(xs):
     """(1, h2+3, w2+3, cin<=16) s2d int8 input -> (h2, w2/4 + 1, 512)
     pack with x32[r, c4, j*128 + a*64 + dy*16 + ch] = xs[0, r+dy,
     4*c4 + j + a, ch] — the x8 pack regrouped to 4-column granularity
-    so each output-column parity class is an aligned 128-lane slice."""
+    so each output-column parity class is an aligned 128-lane slice.
+
+    The width pad runs on the RAW input (8.4 MB) before the 8-piece
+    stack, not on the 8x-replicated stack output (the round-4 order
+    paid a 0.09 ms pad on the 67 MB tensor; chip A/B in DESIGN.md).
+    The two orders differ only in lanes the stem kernel never reads
+    (tail-sublane classes 2/3 beyond the last conv tap)."""
     b, hp, wp, cin = xs.shape
     assert b == 1, "serving kernels are batch-1"
     h2, w2 = hp - 3, wp - 3
@@ -311,11 +317,11 @@ def pack_stem_input_x32(xs):
     x = xs[0]
     if cin < 16:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 16 - cin)))
+    x = jnp.pad(x, ((0, 0), (0, 2), (0, 0)))  # w2+3 -> w2+5 cols
     x8 = jnp.stack(
-        [x[dy:dy + h2, a:a + w2 + 2, :] for a in (0, 1) for dy in range(4)],
+        [x[dy:dy + h2, a:a + w2 + 4, :] for a in (0, 1) for dy in range(4)],
         axis=2,
-    )  # (h2, w2+2, 8, 16)
-    x8 = jnp.pad(x8, ((0, 0), (0, 2), (0, 0), (0, 0)))
+    )  # (h2, w2+4, 8, 16)
     return x8.reshape(h2, w2 // 4 + 1, 512)
 
 
@@ -728,10 +734,15 @@ def l1_stage_i8_paired(pooled, W, mc, rr, *, nr: int = 8):
         pooled[0].reshape(h4, w4 // 2, 128), W, mc, rr, nr=nr)
 
 
-def l1_stage_i8_paired_view(xv, W, mc, rr, *, nr: int = 8):
+def l1_stage_i8_paired_view(xv, W, mc, rr, *, nr: int = 8,
+                            paired_out: bool = False):
     """``l1_stage_i8_paired`` on the paired view directly: xv is the
     (h4, w4/2, 128) tensor the v3 stem emits; returns standard NHWC
-    (1, h4, w4, 64) for the XLA stage-2 conv."""
+    (1, h4, w4, 64) for the XLA stage-2 conv — or, with
+    ``paired_out=True``, the raw (h4, w4/2, 128) paired view that
+    ``l2_stage_i8_from_paired`` consumes directly (the NHWC reshape is
+    a free row-major view either way; returning the view keeps the
+    consumer's layout choice explicit)."""
     h4, w2, lanes = xv.shape
     assert lanes == 128, xv.shape
     w4 = 2 * w2
@@ -760,7 +771,222 @@ def l1_stage_i8_paired_view(xv, W, mc, rr, *, nr: int = 8):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h4, w2, 128), jnp.int8),
     )(xv, xv, xv, W, mc, rr)
+    if paired_out:
+        return out
     return out.reshape(h4, w4, 64)[None]
+
+
+# ----------------------------------------------------------------------
+# fused ResNet-18 L2 stage (strided BasicBlock + stride-1 BasicBlock,
+# 5 convs incl. the 1x1 projection: conv1 3x3/2 64->128, conv2 3x3
+# 128->128, down 1x1/2 64->128, then l2_1's two 3x3 128->128 convs)
+# consuming the L1 kernel's paired-view output DIRECTLY — the round-5
+# per-op profile attributes ~0.3 ms of s8 operand-layout fusions plus
+# the conv time itself to XLA's l2 stage; the fused kernel keeps every
+# intermediate in VMEM and recomputes a 3-row halo (in l2-output space)
+# per block, exactly like the L1 stage kernel.
+#
+# Stride-2 on the paired view is NATIVE here: with P[o] holding input
+# columns (2o, 2o+1) in lane halves, conv1's output column o reads taps
+#   2o   (lanes [0:64]   of sublane o)      -> dx=1
+#   2o+1 (lanes [64:128] of sublane o)      -> dx=2
+#   2o-1 (lanes [64:128] of sublane o-1)    -> dx=0 (sublane shift-down)
+# so each (row, dy) contributes ONE aligned K=256 piece [P, shift_dn(P)]
+# (the dn even half carries zero weights: 75% effective K).  conv1's
+# output width w4/2 equals the paired sublane count 1:1, and cout=128
+# fills the lane dim exactly — every downstream conv runs on standard
+# (w8, 128) rows where the 3 width taps are sublane shifts: one
+# K=9*128=1152 dot per (row, conv) at 100% effective K.
+#
+# Halo/pad correctness: identical scheme to the L1 kernel — every level
+# masks rows outside the image to ZERO (a recomputed halo row fed from
+# zero padding is NOT zero after the +bias of the previous conv).
+#
+# Exactness: int8 codes in bf16 are exact, MXU accumulates f32, and
+# |acc| <= 127*127*1152 = 18.6M < 2^24 — bit-identical to the chained
+# ``_apply_block`` XLA path (same f32 epilogue expression and op order;
+# verified in tests and on chip).
+# ----------------------------------------------------------------------
+
+
+def _l2_c1_weights(w):
+    """(3,3,64,128) conv1 kernel -> (6*128, 128) paired-view stride-2
+    matmul weights: per-dy blocks [aligned P | shift_dn(P)] with
+    P-lane mapping [0:64]=dx1, [64:128]=dx2; dn [0:64]=unused (zero),
+    [64:128]=dx0."""
+    w = np.asarray(w, np.float32)
+    assert w.shape == (3, 3, 64, 128), w.shape
+    blocks = []
+    for dy in range(3):
+        a = np.concatenate([w[dy, 1], w[dy, 2]], axis=0)       # (128,128)
+        d = np.concatenate([np.zeros((64, 128), np.float32),
+                            w[dy, 0]], axis=0)                  # (128,128)
+        blocks.extend((a, d))
+    return np.concatenate(blocks, axis=0)                       # (768,128)
+
+
+def _l2_c3_weights(w):
+    """(3,3,128,128) stride-1 kernel -> (1152, 128) standard-row matmul
+    weights, per-dy blocks in [dn(dx0), row(dx1), up(dx2)] order."""
+    w = np.asarray(w, np.float32)
+    assert w.shape == (3, 3, 128, 128), w.shape
+    return np.concatenate(
+        [np.concatenate([w[dy, 0], w[dy, 1], w[dy, 2]], axis=0)
+         for dy in range(3)], axis=0)
+
+
+def pack_l2_weights(e0, e1):
+    """l2_0 / l2_1 _apply_block param dicts -> the fused-kernel params:
+    Wc1 (768, 128) bf16, Wd (64, 128) bf16 (the 1x1 projection), W3
+    (3, 1152, 128) bf16 [l2_0.conv2, l2_1.conv1, l2_1.conv2], mc
+    (5, 2, 128) f32 requant rows [c1, conv2_0, down, c3, conv2_1],
+    rr (1, 128) f32 (l2_1's residual ratio).  All weights are exact
+    int8 codes carried in bf16."""
+    wc1 = _l2_c1_weights(e0["conv1"]["w"])
+    wd = np.asarray(e0["down"]["w"], np.float32).reshape(64, 128)
+    w3 = np.stack([_l2_c3_weights(e0["conv2"]["w"]),
+                   _l2_c3_weights(e1["conv1"]["w"]),
+                   _l2_c3_weights(e1["conv2"]["w"])])
+    mcs = []
+    for e, conv in ((e0, "conv1"), (e0, "conv2"), (e0, "down"),
+                    (e1, "conv1"), (e1, "conv2")):
+        mcs.append(np.stack([np.asarray(e[conv]["m"], np.float32),
+                             np.asarray(e[conv]["c"], np.float32)]))
+    rr = np.broadcast_to(
+        np.asarray(e1["res_ratio"], np.float32).reshape(-1), (128,))
+    return (jnp.asarray(wc1, jnp.bfloat16), jnp.asarray(wd, jnp.bfloat16),
+            jnp.asarray(w3, jnp.bfloat16),
+            jnp.asarray(np.stack(mcs), jnp.float32),
+            jnp.asarray(rr.reshape(1, 128), jnp.float32))
+
+
+def _l2_stage_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref, wd_ref,
+                     w3_ref, mc_ref, rr_ref, out_ref):
+    base = pl.program_id(0) * nr   # output-row base (h8 space)
+    h4 = 2 * h8
+    w2 = x_ref.shape[1]
+    zrow = jnp.zeros((1, 128), jnp.bfloat16)
+
+    def in_row(off):
+        """Paired input row at block-relative h4-space offset, masked to
+        the zero pad outside the image."""
+        if off < -8 or off >= 2 * nr + 8:
+            return None
+        if off < 0:
+            v = x_top_ref[8 + off].astype(jnp.bfloat16)
+        elif off < 2 * nr:
+            v = x_ref[off].astype(jnp.bfloat16)
+        else:
+            v = x_bot_ref[off - 2 * nr].astype(jnp.bfloat16)
+        g = 2 * base + off
+        return jnp.where((g >= 0) & (g < h4), v, jnp.zeros_like(v))
+
+    x_rows = {off: in_row(off) for off in range(-7, 2 * nr + 6)}
+
+    def mask8(q, t):
+        g = base + t
+        return jnp.where((g >= 0) & (g < h8), q, jnp.zeros_like(q))
+
+    def c1_row(t):
+        """conv1 (3x3/2 64->128) output row t as bf16 codes."""
+        pieces = []
+        for dy in range(3):
+            a = x_rows[2 * t - 1 + dy]
+            dn = jnp.concatenate([zrow, a[:-1]], axis=0)
+            pieces.extend((a, dn))
+        acc = jnp.dot(jnp.concatenate(pieces, axis=1), wc1_ref[...],
+                      preferred_element_type=jnp.float32)
+        z = jnp.maximum(acc * mc_ref[0, 0] + mc_ref[0, 1], 0.0)
+        q = jnp.clip(jnp.round(z), 0.0, 127.0).astype(jnp.bfloat16)
+        return mask8(q, t)
+
+    def conv3_acc(rows, t, j):
+        """stride-1 3x3 128->128 accumulator at output row t: one
+        K=1152 dot over [dn, row, up] per dy."""
+        ops = []
+        for dy in range(3):
+            r = rows.get(t - 1 + dy)
+            if r is None:
+                r = jnp.zeros((w2, 128), jnp.bfloat16)
+            dn = jnp.concatenate([zrow, r[:-1]], axis=0)
+            up = jnp.concatenate([r[1:], zrow], axis=0)
+            ops.extend((dn, r, up))
+        return jnp.dot(jnp.concatenate(ops, axis=1), w3_ref[j],
+                       preferred_element_type=jnp.float32)
+
+    c1 = {t: c1_row(t) for t in range(-3, nr + 3)}
+    b0 = {}
+    for t in range(-2, nr + 2):
+        yd = jnp.dot(x_rows[2 * t][:, 0:64], wd_ref[...],
+                     preferred_element_type=jnp.float32)
+        z = (conv3_acc(c1, t, 0) * mc_ref[1, 0] + mc_ref[1, 1]
+             + yd * mc_ref[2, 0] + mc_ref[2, 1])
+        q = jnp.clip(jnp.round(jnp.maximum(z, 0.0)), 0.0,
+                     127.0).astype(jnp.bfloat16)
+        b0[t] = mask8(q, t)
+    c3 = {}
+    for t in range(-1, nr + 1):
+        z = jnp.maximum(conv3_acc(b0, t, 1) * mc_ref[3, 0]
+                        + mc_ref[3, 1], 0.0)
+        c3[t] = mask8(jnp.clip(jnp.round(z), 0.0,
+                               127.0).astype(jnp.bfloat16), t)
+    for t in range(nr):
+        z = (conv3_acc(c3, t, 2) * mc_ref[4, 0] + mc_ref[4, 1]
+             + b0[t].astype(jnp.float32) * rr_ref[0])
+        q = jnp.clip(jnp.round(jnp.maximum(z, 0.0)), 0.0, 127.0)
+        out_ref[t] = q.astype(jnp.int8)
+
+
+def l2_stage_shapes_ok(h4: int, w4: int, nr: int = 8) -> bool:
+    """Trace-time gate for ``l2_stage_i8_from_paired``."""
+    return (h4 % 8 == 0 and (h4 // 2) % nr == 0 and nr % 4 == 0
+            and w4 % 2 == 0)
+
+
+def l2_stage_i8_from_paired(xv, Wc1, Wd, W3, mc, rr, *, nr: int = 8):
+    """ResNet-18 stage-2 int8-through (strided BasicBlock with 1x1
+    projection + stride-1 BasicBlock, 5 convs), one Pallas kernel over
+    the paired width view the L1 stage kernel emits.
+
+    xv: (h4, w4/2, 128) int8 paired view of the (h4, w4, 64) L1 codes
+    Wc1/Wd/W3/mc/rr: ``pack_l2_weights`` of the l2_0/l2_1 packages
+
+    Returns (1, h4/2, w4/2, 128) int8 codes in standard NHWC ==
+    ``_apply_block(_apply_block(x, l2_0, 2), l2_1, 1)`` bit-for-bit
+    (exact integer dots, same f32 epilogue expression and op order)."""
+    h4, w2, lanes = xv.shape
+    assert lanes == 128, xv.shape
+    h8 = h4 // 2
+    assert h4 % 8 == 0 and h8 % nr == 0 and nr % 4 == 0, (h4, nr)
+    out = pl.pallas_call(
+        functools.partial(_l2_stage_kernel, nr, h8),
+        grid=(h8 // nr,),
+        in_specs=[
+            pl.BlockSpec((8, w2, 128),
+                         lambda i: (jnp.maximum(nr // 4 * i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * nr, w2, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, w2, 128),
+                         lambda i: (jnp.minimum(nr // 4 * (i + 1),
+                                                h4 // 8 - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((768, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1152, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, 2, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nr, w2, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h8, w2, 128), jnp.int8),
+    )(xv, xv, xv, Wc1, Wd, W3, mc, rr)
+    return out[None]
 
 
 # ----------------------------------------------------------------------
