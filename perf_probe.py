@@ -268,6 +268,8 @@ def main():
                 _i8._L1_NR = 16
             if "l2nr16" in args.variant or args.variant == "int8-nr16":
                 _i8._L2_NR = 16
+        if "l3" in args.variant:
+            _i8._L3_ENABLE = True
         from torchseg_tpu.experiments.registry import (
             build_model as _bm,
             get_experiment as _ge,

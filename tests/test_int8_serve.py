@@ -76,6 +76,8 @@ def test_int8_through_pallas_chain_matches_xla_arm():
     is rechecked in DESIGN.md's round-5 tables)."""
     from jax.experimental.pallas import tpu as pltpu
 
+    from torchseg_tpu.deploy import int8_serve as _i8
+
     model, variables, img, xf = _setup()
     stats = calibrate(model, variables, [xf])
     pkg = build_int8_package(variables, stats,
@@ -86,11 +88,17 @@ def test_int8_through_pallas_chain_matches_xla_arm():
         model, variables, pkg, argmax=True, stem_mode="bf16")
     ref = np.asarray(infer_x(run_x, xs))
 
-    infer_p, run_p = make_int8_through_infer(
-        model, variables, pkg, argmax=True, stem_mode="pallas")
+    old_l3 = _i8._L3_ENABLE
+    _i8._L3_ENABLE = True
+    try:
+        infer_p, run_p = make_int8_through_infer(
+            model, variables, pkg, argmax=True, stem_mode="pallas")
+    finally:
+        _i8._L3_ENABLE = old_l3
     # the fused-kernel package rows must actually be packed (the chain
     # engages at this geometry: h2=32, w2=64 passes every shape gate)
     assert "l1q" in run_p and "l2q" in run_p and "sp1q" in run_p
+    assert "l3q" in run_p  # stage 3 rides the same chain
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(infer_p(run_p, xs))
     assert got.shape == ref.shape

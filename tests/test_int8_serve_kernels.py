@@ -261,3 +261,67 @@ def test_l2_stage_shape_gate():
     assert not l2_stage_shapes_ok(20, 32, nr=4)  # h8=10 % 4 != 0
     assert not l2_stage_shapes_ok(16, 31, nr=4)  # odd width
     assert not l2_stage_shapes_ok(16, 32, nr=2)  # nr % 4 != 0
+
+
+def _mk_down_blocks(rng, cin):
+    def mk_cbr(ci, co, shape=(3, 3)):
+        return {
+            "w": jnp.asarray(
+                rng.integers(-127, 128, shape + (ci, co)), jnp.int8),
+            "m": jnp.asarray(rng.uniform(1e-5, 8e-5, (co,)), jnp.float32),
+            "c": jnp.asarray(rng.normal(size=(co,)) * 0.4, jnp.float32),
+        }
+
+    e0 = {"conv1": mk_cbr(cin, 2 * cin), "conv2": mk_cbr(2 * cin, 2 * cin),
+          "down": mk_cbr(cin, 2 * cin, shape=(1, 1))}
+    e1 = {"conv1": mk_cbr(2 * cin, 2 * cin),
+          "conv2": mk_cbr(2 * cin, 2 * cin),
+          "res_ratio": jnp.asarray(rng.uniform(0.3, 0.9), jnp.float32)}
+    return e0, e1
+
+
+def test_l3_stage_bit_exact_vs_apply_block():
+    """The generic down-stage kernel at cin=128 (ResNet-18 stage 3)."""
+    from torchseg_tpu.deploy.int8_serve import _apply_block
+    from torchseg_tpu.ops.pallas.int8_serve_kernels import (
+        down_stage_i8_from_paired,
+        down_stage_shapes_ok,
+        pack_down_stage_weights,
+    )
+
+    rng = np.random.default_rng(11)
+    e0, e1 = _mk_down_blocks(rng, 128)
+    h8, w8 = 8, 16
+    x = jnp.asarray(rng.integers(0, 128, (1, h8, w8, 128)), jnp.int8)
+    ref = _apply_block(_apply_block(x, e0, 2), e1, 1)
+    wc1, wd, w3, mc, rr = pack_down_stage_weights(e0, e1)
+    assert down_stage_shapes_ok(h8, w8, nr=4)
+    got = down_stage_i8_from_paired(
+        x[0].reshape(h8, w8 // 2, 256), wc1, wd, w3, mc, rr, nr=4)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_l2_to_l3_chain_via_free_pair_view():
+    """L2 kernel std output -> row-major pair reshape -> L3 kernel ==
+    the four chained _apply_block calls."""
+    from torchseg_tpu.deploy.int8_serve import _apply_block
+    from torchseg_tpu.ops.pallas.int8_serve_kernels import (
+        down_stage_i8_from_paired,
+        pack_down_stage_weights,
+    )
+
+    rng = np.random.default_rng(12)
+    e2_0, e2_1 = _mk_l2_blocks(rng)
+    e3_0, e3_1 = _mk_down_blocks(rng, 128)
+    h4, w4 = 16, 32
+    x = jnp.asarray(rng.integers(0, 128, (1, h4, w4, 64)), jnp.int8)
+    ref = _apply_block(_apply_block(x, e2_0, 2), e2_1, 1)
+    ref = _apply_block(_apply_block(ref, e3_0, 2), e3_1, 1)
+    p2 = pack_down_stage_weights(e2_0, e2_1)
+    p3 = pack_down_stage_weights(e3_0, e3_1)
+    mid = down_stage_i8_from_paired(
+        x[0].reshape(h4, w4 // 2, 128), *p2, nr=4)
+    h8, w8 = mid.shape[1], mid.shape[2]
+    got = down_stage_i8_from_paired(
+        mid[0].reshape(h8, w8 // 2, 256), *p3, nr=4)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -885,6 +885,12 @@ def load_int8_package(path: str) -> dict:
 # divisor at odd geometries.
 _L1_NR = 8
 _L2_NR = 8
+_L3_NR = 8
+# stage-3 kernel chain gate: unlike L1->L2 (zero-relayout handoff), the
+# L2->L3 handoff needs an XLA pair-view reshape whose cost is unmeasured
+# on chip (tunnel outage) — OFF until the A/B lands (perf_probe
+# --variant int8-l3 flips it for the measurement)
+_L3_ENABLE = False
 
 
 def _pick_stage_nr(rows: int, pref: int) -> int:
@@ -1173,6 +1179,20 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                                                           pkg["l2_1"])
                 run_pkg["l2q"] = {"Wc1": wc1, "Wd": wd, "W3": w3,
                                   "mc": l2mc, "rr": l2rr}
+                # stage 3 is the same down-stage kernel at cin=128 (its
+                # paired view is a free row-major regrouping of the L2
+                # kernel's std output)
+                if (_L3_ENABLE and strides.get("l3_0") == 2
+                        and strides.get("l3_1") == 1
+                        and "down" in pkg["l3_0"]
+                        and pkg["l3_0"]["conv1"]["w"].shape
+                        == (3, 3, 128, 256)
+                        and pkg["l3_0"]["down"]["w"].shape
+                        == (1, 1, 128, 256)):
+                    wc1, wd, w3, l3mc, l3rr = pack_l2_weights(pkg["l3_0"],
+                                                              pkg["l3_1"])
+                    run_pkg["l3q"] = {"Wc1": wc1, "Wd": wd, "W3": w3,
+                                      "mc": l3mc, "rr": l3rr}
 
     @jax.jit
     def infer(pkg, xs):
@@ -1302,6 +1322,7 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
         apply_block = _apply_block if kind == "r18" else _apply_xblock
         last_stage = stages[-1][0]
         l1_raw = None  # L1 kernel's paired view, for the L2 kernel
+        l2_kernel_out = False  # L2 kernel ran and L3 can chain off it
         for li, nblocks in stages:
             if li == 1 and l1_pallas:
                 from ..ops.pallas.int8_serve_kernels import (
@@ -1328,6 +1349,7 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                 # zero XLA relayout between the stages (bit-identical
                 # to the chained _apply_block path)
                 from ..ops.pallas.int8_serve_kernels import (
+                    down_stage_shapes_ok,
                     l2_stage_i8_from_paired,
                 )
 
@@ -1336,6 +1358,24 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                 x = l2_stage_i8_from_paired(
                     l1_raw, q2["Wc1"], q2["Wd"], q2["W3"], q2["mc"],
                     q2["rr"], nr=_pick_stage_nr(h4 // 2, _L2_NR))
+                l2_kernel_out = ("l3q" in pkg and down_stage_shapes_ok(
+                    x.shape[1], x.shape[2],
+                    nr=_pick_stage_nr(x.shape[1] // 2, _L3_NR)))
+                feats.append(x)
+                continue
+            if li == 3 and l2_kernel_out:
+                # same down-stage kernel at cin=128; its paired view is
+                # a free row-major regrouping of the L2 kernel's output
+                from ..ops.pallas.int8_serve_kernels import (
+                    down_stage_i8_from_paired,
+                )
+
+                q3 = pkg["l3q"]
+                h8, w8 = x.shape[1], x.shape[2]
+                xv = x[0].reshape(h8, w8 // 2, 256)
+                x = down_stage_i8_from_paired(
+                    xv, q3["Wc1"], q3["Wd"], q3["W3"], q3["mc"],
+                    q3["rr"], nr=_pick_stage_nr(h8 // 2, _L3_NR))
                 feats.append(x)
                 continue
             for bi in range(nblocks):

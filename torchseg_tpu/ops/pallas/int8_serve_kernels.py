@@ -777,95 +777,104 @@ def l1_stage_i8_paired_view(xv, W, mc, rr, *, nr: int = 8,
 
 
 # ----------------------------------------------------------------------
-# fused ResNet-18 L2 stage (strided BasicBlock + stride-1 BasicBlock,
-# 5 convs incl. the 1x1 projection: conv1 3x3/2 64->128, conv2 3x3
-# 128->128, down 1x1/2 64->128, then l2_1's two 3x3 128->128 convs)
-# consuming the L1 kernel's paired-view output DIRECTLY — the round-5
-# per-op profile attributes ~0.3 ms of s8 operand-layout fusions plus
-# the conv time itself to XLA's l2 stage; the fused kernel keeps every
-# intermediate in VMEM and recomputes a 3-row halo (in l2-output space)
-# per block, exactly like the L1 stage kernel.
+# fused ResNet-18 DOWN stage (strided BasicBlock + stride-1 BasicBlock,
+# 5 convs incl. the 1x1 projection: conv1 3x3/2 cin->2cin, conv2 3x3
+# 2cin->2cin, down 1x1/2 cin->2cin, then the second block's two 3x3
+# 2cin->2cin convs) consuming the previous stage's paired-view output
+# DIRECTLY — cin=64 is the L2 stage (chains off the L1 kernel's
+# paired_out), cin=128 the L3 stage (chains off the L2 kernel's output
+# through a free row-major pair view).  The round-5 per-op profile
+# attributes ~0.3 ms of s8 operand-layout fusions plus the conv time
+# itself to XLA's l2 stage; the fused kernel keeps every intermediate
+# in VMEM and recomputes a 3-row halo (in output space) per block,
+# exactly like the L1 stage kernel.
 #
 # Stride-2 on the paired view is NATIVE here: with P[o] holding input
 # columns (2o, 2o+1) in lane halves, conv1's output column o reads taps
-#   2o   (lanes [0:64]   of sublane o)      -> dx=1
-#   2o+1 (lanes [64:128] of sublane o)      -> dx=2
-#   2o-1 (lanes [64:128] of sublane o-1)    -> dx=0 (sublane shift-down)
-# so each (row, dy) contributes ONE aligned K=256 piece [P, shift_dn(P)]
-# (the dn even half carries zero weights: 75% effective K).  conv1's
-# output width w4/2 equals the paired sublane count 1:1, and cout=128
-# fills the lane dim exactly — every downstream conv runs on standard
-# (w8, 128) rows where the 3 width taps are sublane shifts: one
-# K=9*128=1152 dot per (row, conv) at 100% effective K.
+#   2o   (lanes [0:cin]      of sublane o)    -> dx=1
+#   2o+1 (lanes [cin:2cin]   of sublane o)    -> dx=2
+#   2o-1 (lanes [cin:2cin]   of sublane o-1)  -> dx=0 (sublane shift-dn)
+# so each (row, dy) contributes ONE aligned K=4cin piece
+# [P, shift_dn(P)] (the dn even half carries zero weights: 75%
+# effective K).  conv1's output width equals the paired sublane count
+# 1:1, and cout=2cin fills the lane dim exactly — every downstream conv
+# runs on standard (w_out, 2cin) rows where the 3 width taps are
+# sublane shifts: one K=9*2cin dot per (row, conv) at 100% effective K.
 #
 # Halo/pad correctness: identical scheme to the L1 kernel — every level
 # masks rows outside the image to ZERO (a recomputed halo row fed from
 # zero padding is NOT zero after the +bias of the previous conv).
 #
-# Exactness: int8 codes in bf16 are exact, MXU accumulates f32, and
-# |acc| <= 127*127*1152 = 18.6M < 2^24 — bit-identical to the chained
-# ``_apply_block`` XLA path (same f32 epilogue expression and op order;
-# verified in tests and on chip).
+# Exactness: int8 codes in bf16 are exact and the MXU accumulates f32;
+# bit-identical to the chained ``_apply_block`` XLA path (same
+# accumulation type, f32 epilogue expression and op order; verified in
+# tests and on chip for both stages).
 # ----------------------------------------------------------------------
 
 
-def _l2_c1_weights(w):
-    """(3,3,64,128) conv1 kernel -> (6*128, 128) paired-view stride-2
-    matmul weights: per-dy blocks [aligned P | shift_dn(P)] with
-    P-lane mapping [0:64]=dx1, [64:128]=dx2; dn [0:64]=unused (zero),
-    [64:128]=dx0."""
+def _down_c1_weights(w):
+    """(3,3,cin,2cin) conv1 kernel -> (6*2cin, 2cin) paired-view
+    stride-2 matmul weights: per-dy blocks [aligned P | shift_dn(P)]
+    with P-lane mapping [0:cin]=dx1, [cin:2cin]=dx2; dn [0:cin]=unused
+    (zero), [cin:2cin]=dx0."""
     w = np.asarray(w, np.float32)
-    assert w.shape == (3, 3, 64, 128), w.shape
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw, cout) == (3, 3, 2 * cin), w.shape
     blocks = []
     for dy in range(3):
-        a = np.concatenate([w[dy, 1], w[dy, 2]], axis=0)       # (128,128)
-        d = np.concatenate([np.zeros((64, 128), np.float32),
-                            w[dy, 0]], axis=0)                  # (128,128)
+        a = np.concatenate([w[dy, 1], w[dy, 2]], axis=0)      # (2cin,2cin)
+        d = np.concatenate([np.zeros((cin, cout), np.float32),
+                            w[dy, 0]], axis=0)                 # (2cin,2cin)
         blocks.extend((a, d))
-    return np.concatenate(blocks, axis=0)                       # (768,128)
+    return np.concatenate(blocks, axis=0)                      # (12cin,2cin)
 
 
-def _l2_c3_weights(w):
-    """(3,3,128,128) stride-1 kernel -> (1152, 128) standard-row matmul
+def _down_c3_weights(w):
+    """(3,3,C,C) stride-1 kernel -> (9C, C) standard-row matmul
     weights, per-dy blocks in [dn(dx0), row(dx1), up(dx2)] order."""
     w = np.asarray(w, np.float32)
-    assert w.shape == (3, 3, 128, 128), w.shape
+    assert (w.shape[0], w.shape[1]) == (3, 3) and w.shape[2] == w.shape[3]
     return np.concatenate(
         [np.concatenate([w[dy, 0], w[dy, 1], w[dy, 2]], axis=0)
          for dy in range(3)], axis=0)
 
 
-def pack_l2_weights(e0, e1):
-    """l2_0 / l2_1 _apply_block param dicts -> the fused-kernel params:
-    Wc1 (768, 128) bf16, Wd (64, 128) bf16 (the 1x1 projection), W3
-    (3, 1152, 128) bf16 [l2_0.conv2, l2_1.conv1, l2_1.conv2], mc
-    (5, 2, 128) f32 requant rows [c1, conv2_0, down, c3, conv2_1],
-    rr (1, 128) f32 (l2_1's residual ratio).  All weights are exact
-    int8 codes carried in bf16."""
-    wc1 = _l2_c1_weights(e0["conv1"]["w"])
-    wd = np.asarray(e0["down"]["w"], np.float32).reshape(64, 128)
-    w3 = np.stack([_l2_c3_weights(e0["conv2"]["w"]),
-                   _l2_c3_weights(e1["conv1"]["w"]),
-                   _l2_c3_weights(e1["conv2"]["w"])])
+def pack_down_stage_weights(e0, e1):
+    """Strided/stride-1 _apply_block param dict pair -> the fused-kernel
+    params: Wc1 (12cin, 2cin) bf16, Wd (cin, 2cin) bf16 (the 1x1
+    projection), W3 (3, 18cin, 2cin) bf16 [e0.conv2, e1.conv1,
+    e1.conv2], mc (5, 2, 2cin) f32 requant rows [c1, conv2_0, down, c3,
+    conv2_1], rr (1, 2cin) f32 (e1's residual ratio).  All weights are
+    exact int8 codes carried in bf16."""
+    cin = e0["conv1"]["w"].shape[2]
+    wc1 = _down_c1_weights(e0["conv1"]["w"])
+    wd = np.asarray(e0["down"]["w"], np.float32).reshape(cin, 2 * cin)
+    w3 = np.stack([_down_c3_weights(e0["conv2"]["w"]),
+                   _down_c3_weights(e1["conv1"]["w"]),
+                   _down_c3_weights(e1["conv2"]["w"])])
     mcs = []
     for e, conv in ((e0, "conv1"), (e0, "conv2"), (e0, "down"),
                     (e1, "conv1"), (e1, "conv2")):
         mcs.append(np.stack([np.asarray(e[conv]["m"], np.float32),
                              np.asarray(e[conv]["c"], np.float32)]))
     rr = np.broadcast_to(
-        np.asarray(e1["res_ratio"], np.float32).reshape(-1), (128,))
+        np.asarray(e1["res_ratio"], np.float32).reshape(-1), (2 * cin,))
     return (jnp.asarray(wc1, jnp.bfloat16), jnp.asarray(wd, jnp.bfloat16),
             jnp.asarray(w3, jnp.bfloat16),
             jnp.asarray(np.stack(mcs), jnp.float32),
-            jnp.asarray(rr.reshape(1, 128), jnp.float32))
+            jnp.asarray(rr.reshape(1, 2 * cin), jnp.float32))
 
 
-def _l2_stage_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref, wd_ref,
-                     w3_ref, mc_ref, rr_ref, out_ref):
+pack_l2_weights = pack_down_stage_weights
+
+
+def _down_stage_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref, wd_ref,
+                       w3_ref, mc_ref, rr_ref, out_ref):
     base = pl.program_id(0) * nr   # output-row base (h8 space)
     h4 = 2 * h8
     w2 = x_ref.shape[1]
-    zrow = jnp.zeros((1, 128), jnp.bfloat16)
+    lanes = x_ref.shape[2]         # 2*cin
+    zrow = jnp.zeros((1, lanes), jnp.bfloat16)
 
     def in_row(off):
         """Paired input row at block-relative h4-space offset, masked to
@@ -888,7 +897,7 @@ def _l2_stage_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref, wd_ref,
         return jnp.where((g >= 0) & (g < h8), q, jnp.zeros_like(q))
 
     def c1_row(t):
-        """conv1 (3x3/2 64->128) output row t as bf16 codes."""
+        """conv1 (3x3/2 cin->2cin) output row t as bf16 codes."""
         pieces = []
         for dy in range(3):
             a = x_rows[2 * t - 1 + dy]
@@ -901,13 +910,13 @@ def _l2_stage_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref, wd_ref,
         return mask8(q, t)
 
     def conv3_acc(rows, t, j):
-        """stride-1 3x3 128->128 accumulator at output row t: one
-        K=1152 dot over [dn, row, up] per dy."""
+        """stride-1 3x3 2cin->2cin accumulator at output row t: one
+        K=18cin dot over [dn, row, up] per dy."""
         ops = []
         for dy in range(3):
             r = rows.get(t - 1 + dy)
             if r is None:
-                r = jnp.zeros((w2, 128), jnp.bfloat16)
+                r = jnp.zeros((w2, lanes), jnp.bfloat16)
             dn = jnp.concatenate([zrow, r[:-1]], axis=0)
             up = jnp.concatenate([r[1:], zrow], axis=0)
             ops.extend((dn, r, up))
@@ -917,7 +926,7 @@ def _l2_stage_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref, wd_ref,
     c1 = {t: c1_row(t) for t in range(-3, nr + 3)}
     b0 = {}
     for t in range(-2, nr + 2):
-        yd = jnp.dot(x_rows[2 * t][:, 0:64], wd_ref[...],
+        yd = jnp.dot(x_rows[2 * t][:, 0:lanes // 2], wd_ref[...],
                      preferred_element_type=jnp.float32)
         z = (conv3_acc(c1, t, 0) * mc_ref[1, 0] + mc_ref[1, 1]
              + yd * mc_ref[2, 0] + mc_ref[2, 1])
@@ -937,56 +946,66 @@ def _l2_stage_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref, wd_ref,
         out_ref[t] = q.astype(jnp.int8)
 
 
-def l2_stage_shapes_ok(h4: int, w4: int, nr: int = 8) -> bool:
-    """Trace-time gate for ``l2_stage_i8_from_paired``."""
+def down_stage_shapes_ok(h4: int, w4: int, nr: int = 8) -> bool:
+    """Trace-time gate for ``down_stage_i8_from_paired`` (h4/w4 = the
+    stage's INPUT spatial dims)."""
     return (h4 % 8 == 0 and (h4 // 2) % nr == 0 and nr % 4 == 0
             and w4 % 2 == 0)
 
 
-def l2_stage_i8_from_paired(xv, Wc1, Wd, W3, mc, rr, *, nr: int = 8):
-    """ResNet-18 stage-2 int8-through (strided BasicBlock with 1x1
+l2_stage_shapes_ok = down_stage_shapes_ok
+
+
+def down_stage_i8_from_paired(xv, Wc1, Wd, W3, mc, rr, *, nr: int = 8):
+    """ResNet-18 down stage int8-through (strided BasicBlock with 1x1
     projection + stride-1 BasicBlock, 5 convs), one Pallas kernel over
-    the paired width view the L1 stage kernel emits.
+    the paired width view of the previous stage's output — stage 2
+    (cin=64) off the L1 kernel's paired_out, stage 3 (cin=128) off the
+    L2 kernel's output via a free row-major pair view.
 
-    xv: (h4, w4/2, 128) int8 paired view of the (h4, w4, 64) L1 codes
-    Wc1/Wd/W3/mc/rr: ``pack_l2_weights`` of the l2_0/l2_1 packages
+    xv: (h, w/2, 2cin) int8 paired view of the (h, w, cin) input codes
+    Wc1/Wd/W3/mc/rr: ``pack_down_stage_weights`` of the stage's two
+    block packages
 
-    Returns (1, h4/2, w4/2, 128) int8 codes in standard NHWC ==
-    ``_apply_block(_apply_block(x, l2_0, 2), l2_1, 1)`` bit-for-bit
+    Returns (1, h/2, w/2, 2cin) int8 codes in standard NHWC ==
+    ``_apply_block(_apply_block(x, e0, 2), e1, 1)`` bit-for-bit
     (exact integer dots, same f32 epilogue expression and op order)."""
     h4, w2, lanes = xv.shape
-    assert lanes == 128, xv.shape
+    assert lanes % 128 == 0, xv.shape
     h8 = h4 // 2
     assert h4 % 8 == 0 and h8 % nr == 0 and nr % 4 == 0, (h4, nr)
     out = pl.pallas_call(
-        functools.partial(_l2_stage_kernel, nr, h8),
+        functools.partial(_down_stage_kernel, nr, h8),
         grid=(h8 // nr,),
         in_specs=[
-            pl.BlockSpec((8, w2, 128),
+            pl.BlockSpec((8, w2, lanes),
                          lambda i: (jnp.maximum(nr // 4 * i - 1, 0), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * nr, w2, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((2 * nr, w2, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, w2, 128),
+            pl.BlockSpec((8, w2, lanes),
                          lambda i: (jnp.minimum(nr // 4 * (i + 1),
                                                 h4 // 8 - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((768, 128), lambda i: (0, 0),
+            pl.BlockSpec((6 * lanes, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 128), lambda i: (0, 0),
+            pl.BlockSpec((lanes // 2, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 1152, 128), lambda i: (0, 0, 0),
+            pl.BlockSpec((3, 9 * lanes, lanes), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, 2, 128), lambda i: (0, 0, 0),
+            pl.BlockSpec((5, 2, lanes), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (0, 0),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nr, w2, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((nr, w2, lanes), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h8, w2, 128), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((h8, w2, lanes), jnp.int8),
     )(xv, xv, xv, Wc1, Wd, W3, mc, rr)
     return out[None]
+
+
+l2_stage_i8_from_paired = down_stage_i8_from_paired
 
 
 # ----------------------------------------------------------------------
