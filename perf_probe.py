@@ -270,6 +270,8 @@ def main():
                 _i8._L2_NR = 16
         if "l3" in args.variant:
             _i8._L3_ENABLE = True
+        if "l4" in args.variant or "l34" in args.variant:
+            _i8._L4_ENABLE = True
         from torchseg_tpu.experiments.registry import (
             build_model as _bm,
             get_experiment as _ge,

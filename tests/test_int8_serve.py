@@ -88,17 +88,20 @@ def test_int8_through_pallas_chain_matches_xla_arm():
         model, variables, pkg, argmax=True, stem_mode="bf16")
     ref = np.asarray(infer_x(run_x, xs))
 
-    old_l3 = _i8._L3_ENABLE
-    _i8._L3_ENABLE = True
+    old_l3, old_l4 = _i8._L3_ENABLE, _i8._L4_ENABLE
+    _i8._L3_ENABLE = _i8._L4_ENABLE = True
     try:
         infer_p, run_p = make_int8_through_infer(
             model, variables, pkg, argmax=True, stem_mode="pallas")
     finally:
-        _i8._L3_ENABLE = old_l3
+        _i8._L3_ENABLE, _i8._L4_ENABLE = old_l3, old_l4
     # the fused-kernel package rows must actually be packed (the chain
     # engages at this geometry: h2=32, w2=64 passes every shape gate)
     assert "l1q" in run_p and "l2q" in run_p and "sp1q" in run_p
     assert "l3q" in run_p  # stage 3 rides the same chain
+    # l4q is packed but its shape gate REJECTS this geometry (h16=4):
+    # the graph must fall back to the XLA blocks and still agree
+    assert "l4q" in run_p
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(infer_p(run_p, xs))
     assert got.shape == ref.shape

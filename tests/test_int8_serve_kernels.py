@@ -301,6 +301,31 @@ def test_l3_stage_bit_exact_vs_apply_block():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_l4_split_kernels_bit_exact_vs_apply_block():
+    """The L4 two-kernel split (down block + res block) at cin=256."""
+    from torchseg_tpu.deploy.int8_serve import _apply_block
+    from torchseg_tpu.ops.pallas.int8_serve_kernels import (
+        down_block_i8_from_paired,
+        pack_down_block_weights,
+        pack_res_block1_weights,
+        res_block_i8_std,
+    )
+
+    rng = np.random.default_rng(13)
+    e0, e1 = _mk_down_blocks(rng, 256)
+    h16, w16 = 8, 16
+    x = jnp.asarray(rng.integers(0, 128, (1, h16, w16, 256)), jnp.int8)
+    ref = _apply_block(_apply_block(x, e0, 2), e1, 1)
+    wc1, wd, wc2, dmc = pack_down_block_weights(e0)
+    rw, rmc, rrr = pack_res_block1_weights(e1)
+    y = down_block_i8_from_paired(
+        x[0].reshape(h16, w16 // 2, 512), wc1, wd, wc2, dmc, nr=4)
+    np.testing.assert_array_equal(
+        np.asarray(_apply_block(x, e0, 2)), np.asarray(y))
+    got = res_block_i8_std(y, rw, rmc, rrr, nr=4)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_l2_to_l3_chain_via_free_pair_view():
     """L2 kernel std output -> row-major pair reshape -> L3 kernel ==
     the four chained _apply_block calls."""

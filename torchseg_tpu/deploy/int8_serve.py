@@ -886,11 +886,15 @@ def load_int8_package(path: str) -> dict:
 _L1_NR = 8
 _L2_NR = 8
 _L3_NR = 8
-# stage-3 kernel chain gate: unlike L1->L2 (zero-relayout handoff), the
-# L2->L3 handoff needs an XLA pair-view reshape whose cost is unmeasured
-# on chip (tunnel outage) — OFF until the A/B lands (perf_probe
-# --variant int8-l3 flips it for the measurement)
+# stage-3/4 kernel chain gates: unlike L1->L2 (zero-relayout handoff),
+# the L2->L3 and L3->L4 handoffs need an XLA pair-view reshape whose
+# cost is unmeasured on chip (tunnel outage) — OFF until the A/Bs land
+# (perf_probe --variant int8-l3 / int8-l34 flips them).  L4 runs as two
+# kernels (down block + res block): the 5-conv fused form needs
+# ~17.5 MB of resident weights at cin=256, over the ~16 MB VMEM.
 _L3_ENABLE = False
+_L4_ENABLE = False
+_L4_NR = 8
 
 
 def _pick_stage_nr(rows: int, pref: int) -> int:
@@ -1193,6 +1197,24 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                                                               pkg["l3_1"])
                     run_pkg["l3q"] = {"Wc1": wc1, "Wd": wd, "W3": w3,
                                       "mc": l3mc, "rr": l3rr}
+                if (_L4_ENABLE and strides.get("l4_0") == 2
+                        and strides.get("l4_1") == 1
+                        and "down" in pkg["l4_0"]
+                        and pkg["l4_0"]["conv1"]["w"].shape
+                        == (3, 3, 256, 512)
+                        and pkg["l4_0"]["down"]["w"].shape
+                        == (1, 1, 256, 512)):
+                    from ..ops.pallas.int8_serve_kernels import (
+                        pack_down_block_weights,
+                        pack_res_block1_weights,
+                    )
+
+                    wc1, wd, wc2, dmc = pack_down_block_weights(
+                        pkg["l4_0"])
+                    rw, rmc, rrr = pack_res_block1_weights(pkg["l4_1"])
+                    run_pkg["l4q"] = {"Wc1": wc1, "Wd": wd, "Wc2": wc2,
+                                      "dmc": dmc, "W": rw, "mc": rmc,
+                                      "rr": rrr}
 
     @jax.jit
     def infer(pkg, xs):
@@ -1378,6 +1400,29 @@ def make_int8_through_infer(model, variables, pkg, *, argmax=True,
                     q3["rr"], nr=_pick_stage_nr(h8 // 2, _L3_NR))
                 feats.append(x)
                 continue
+            # kernel path emits s8 codes — only valid when the int8
+            # decoder consumes them (the bf16-decoder last stage emits
+            # float at the last block)
+            if li == 4 and "l4q" in pkg and use_dec:
+                from ..ops.pallas.int8_serve_kernels import (
+                    down_block_i8_from_paired,
+                    down_stage_shapes_ok,
+                    res_block_i8_std,
+                )
+
+                h16, w16 = x.shape[1], x.shape[2]
+                nr4 = _pick_stage_nr(h16 // 2, _L4_NR)
+                if down_stage_shapes_ok(h16, w16, nr=nr4):
+                    q4 = pkg["l4q"]
+                    xv = x[0].reshape(h16, w16 // 2, 512)
+                    y = down_block_i8_from_paired(
+                        xv, q4["Wc1"], q4["Wd"], q4["Wc2"], q4["dmc"],
+                        nr=nr4)
+                    x = res_block_i8_std(
+                        y, q4["W"], q4["mc"], q4["rr"],
+                        nr=_pick_stage_nr(h16 // 2, _L4_NR))
+                    feats.append(x)
+                    continue
             for bi in range(nblocks):
                 name = f"l{li}_{bi}"
                 last = li == last_stage and bi == nblocks - 1

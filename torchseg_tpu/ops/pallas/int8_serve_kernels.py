@@ -1009,6 +1009,232 @@ l2_stage_i8_from_paired = down_stage_i8_from_paired
 
 
 # ----------------------------------------------------------------------
+# L4 stage as TWO kernels: the fused 5-conv down-stage kernel needs
+# ~17.5 MB of resident bf16 weights at cin=256 (> the ~16 MB VMEM), so
+# stage 4 splits at the natural block boundary — a 3-conv "down block"
+# kernel (conv1 3x3/2 + conv2 3x3 + the 1x1 projection, ~8.1 MB) and a
+# 2-conv "res block" kernel (the stride-1 BasicBlock, ~9.4 MB).  Both
+# read/write standard (w, C) s8 rows in the same layout, so the split
+# costs one extra HBM round-trip of the (h/2, w/2, 2cin) intermediate
+# and no relayout.  Same halo/masking/exactness scheme as the fused
+# down-stage kernel above.
+# ----------------------------------------------------------------------
+
+
+def pack_down_block_weights(e0):
+    """Strided _apply_block param dict -> down-block kernel params:
+    Wc1 (12cin, 2cin) bf16, Wd (cin, 2cin) bf16, Wc2 (18cin, 2cin)
+    bf16, mc (3, 2, 2cin) f32 rows [c1, conv2, down]."""
+    cin = e0["conv1"]["w"].shape[2]
+    wc1 = _down_c1_weights(e0["conv1"]["w"])
+    wd = np.asarray(e0["down"]["w"], np.float32).reshape(cin, 2 * cin)
+    wc2 = _down_c3_weights(e0["conv2"]["w"])
+    mcs = [np.stack([np.asarray(e0[conv]["m"], np.float32),
+                     np.asarray(e0[conv]["c"], np.float32)])
+           for conv in ("conv1", "conv2", "down")]
+    return (jnp.asarray(wc1, jnp.bfloat16), jnp.asarray(wd, jnp.bfloat16),
+            jnp.asarray(wc2, jnp.bfloat16),
+            jnp.asarray(np.stack(mcs), jnp.float32))
+
+
+def pack_res_block1_weights(e1):
+    """Stride-1 _apply_block param dict -> res-block kernel params:
+    W (2, 9C, C) bf16, mc (2, 2, C) f32, rr (1, C) f32."""
+    c = e1["conv1"]["w"].shape[2]
+    w = np.stack([_down_c3_weights(e1["conv1"]["w"]),
+                  _down_c3_weights(e1["conv2"]["w"])])
+    mcs = [np.stack([np.asarray(e1[conv]["m"], np.float32),
+                     np.asarray(e1[conv]["c"], np.float32)])
+           for conv in ("conv1", "conv2")]
+    rr = np.broadcast_to(
+        np.asarray(e1["res_ratio"], np.float32).reshape(-1), (c,))
+    return (jnp.asarray(w, jnp.bfloat16),
+            jnp.asarray(np.stack(mcs), jnp.float32),
+            jnp.asarray(rr.reshape(1, c), jnp.float32))
+
+
+def _down_block_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref,
+                       wd_ref, wc2_ref, mc_ref, out_ref):
+    base = pl.program_id(0) * nr   # output-row base (h8 space)
+    h4 = 2 * h8
+    w2 = x_ref.shape[1]
+    lanes = x_ref.shape[2]         # 2*cin
+    zrow = jnp.zeros((1, lanes), jnp.bfloat16)
+
+    def in_row(off):
+        if off < -4 or off >= 2 * nr + 4:
+            return None
+        if off < 0:
+            v = x_top_ref[4 + off].astype(jnp.bfloat16)
+        elif off < 2 * nr:
+            v = x_ref[off].astype(jnp.bfloat16)
+        else:
+            v = x_bot_ref[off - 2 * nr].astype(jnp.bfloat16)
+        g = 2 * base + off
+        return jnp.where((g >= 0) & (g < h4), v, jnp.zeros_like(v))
+
+    x_rows = {off: in_row(off) for off in range(-3, 2 * nr + 2)}
+
+    def mask8(q, t):
+        g = base + t
+        return jnp.where((g >= 0) & (g < h8), q, jnp.zeros_like(q))
+
+    def c1_row(t):
+        pieces = []
+        for dy in range(3):
+            a = x_rows[2 * t - 1 + dy]
+            dn = jnp.concatenate([zrow, a[:-1]], axis=0)
+            pieces.extend((a, dn))
+        acc = jnp.dot(jnp.concatenate(pieces, axis=1), wc1_ref[...],
+                      preferred_element_type=jnp.float32)
+        z = jnp.maximum(acc * mc_ref[0, 0] + mc_ref[0, 1], 0.0)
+        q = jnp.clip(jnp.round(z), 0.0, 127.0).astype(jnp.bfloat16)
+        return mask8(q, t)
+
+    c1 = {t: c1_row(t) for t in range(-1, nr + 1)}
+    for t in range(nr):
+        ops = []
+        for dy in range(3):
+            r = c1[t - 1 + dy]
+            dn = jnp.concatenate([zrow, r[:-1]], axis=0)
+            up = jnp.concatenate([r[1:], zrow], axis=0)
+            ops.extend((dn, r, up))
+        acc = jnp.dot(jnp.concatenate(ops, axis=1), wc2_ref[...],
+                      preferred_element_type=jnp.float32)
+        yd = jnp.dot(x_rows[2 * t][:, 0:lanes // 2], wd_ref[...],
+                     preferred_element_type=jnp.float32)
+        z = (acc * mc_ref[1, 0] + mc_ref[1, 1]
+             + yd * mc_ref[2, 0] + mc_ref[2, 1])
+        q = jnp.clip(jnp.round(jnp.maximum(z, 0.0)), 0.0, 127.0)
+        out_ref[t] = q.astype(jnp.int8)
+
+
+def down_block_i8_from_paired(xv, Wc1, Wd, Wc2, mc, *, nr: int = 8):
+    """One strided BasicBlock (conv1 3x3/2 cin->2cin + conv2 3x3 + 1x1
+    projection) over the paired width view — the L4 front half.
+
+    xv: (h, w/2, 2cin) int8 paired view of the (h, w, cin) input codes
+    Returns (1, h/2, w/2, 2cin) int8 std NHWC == ``_apply_block(x, e0,
+    2)`` bit-for-bit."""
+    h4, w2, lanes = xv.shape
+    assert lanes % 128 == 0, xv.shape
+    h8 = h4 // 2
+    assert h4 % 8 == 0 and h8 % nr == 0 and nr % 4 == 0, (h4, nr)
+    out = pl.pallas_call(
+        functools.partial(_down_block_kernel, nr, h8),
+        grid=(h8 // nr,),
+        in_specs=[
+            pl.BlockSpec((4, w2, lanes),
+                         lambda i: (jnp.maximum(nr // 2 * i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * nr, w2, lanes), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, w2, lanes),
+                         lambda i: (jnp.minimum(nr // 2 * (i + 1),
+                                                h4 // 4 - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6 * lanes, lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes // 2, lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * lanes, lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 2, lanes), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nr, w2, lanes), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h8, w2, lanes), jnp.int8),
+    )(xv, xv, xv, Wc1, Wd, Wc2, mc)
+    return out[None]
+
+
+def _res_block_kernel(nr, h, x_top_ref, x_ref, x_bot_ref, w_ref, mc_ref,
+                      rr_ref, out_ref):
+    base = pl.program_id(0) * nr
+    w2 = x_ref.shape[1]
+    lanes = x_ref.shape[2]
+    zrow = jnp.zeros((1, lanes), jnp.bfloat16)
+
+    def in_row(off):
+        if off < -2 or off >= nr + 2:
+            return None
+        if off < 0:
+            v = x_top_ref[4 + off].astype(jnp.bfloat16)
+        elif off < nr:
+            v = x_ref[off].astype(jnp.bfloat16)
+        else:
+            v = x_bot_ref[off - nr].astype(jnp.bfloat16)
+        g = base + off
+        return jnp.where((g >= 0) & (g < h), v, jnp.zeros_like(v))
+
+    x_rows = {off: in_row(off) for off in range(-2, nr + 2)}
+
+    def conv3(rows, t, j):
+        ops = []
+        for dy in range(3):
+            r = rows.get(t - 1 + dy)
+            if r is None:
+                r = jnp.zeros((w2, lanes), jnp.bfloat16)
+            dn = jnp.concatenate([zrow, r[:-1]], axis=0)
+            up = jnp.concatenate([r[1:], zrow], axis=0)
+            ops.extend((dn, r, up))
+        return jnp.dot(jnp.concatenate(ops, axis=1), w_ref[j],
+                       preferred_element_type=jnp.float32)
+
+    c3 = {}
+    for t in range(-1, nr + 1):
+        z = jnp.maximum(conv3(x_rows, t, 0) * mc_ref[0, 0]
+                        + mc_ref[0, 1], 0.0)
+        q = jnp.clip(jnp.round(z), 0.0, 127.0).astype(jnp.bfloat16)
+        g = base + t
+        c3[t] = jnp.where((g >= 0) & (g < h), q, jnp.zeros_like(q))
+    for t in range(nr):
+        z = (conv3(c3, t, 1) * mc_ref[1, 0] + mc_ref[1, 1]
+             + x_rows[t].astype(jnp.float32) * rr_ref[0])
+        q = jnp.clip(jnp.round(jnp.maximum(z, 0.0)), 0.0, 127.0)
+        out_ref[t] = q.astype(jnp.int8)
+
+
+def res_block_i8_std(x, W, mc, rr, *, nr: int = 8):
+    """One stride-1 BasicBlock (two 3x3 C->C convs + scaled residual)
+    on standard NHWC int8 rows — the L4 back half.
+
+    x: (1, h, w, C) int8 codes; W/mc/rr: ``pack_res_block1_weights``
+    Returns (1, h, w, C) int8 == ``_apply_block(x, e1, 1)``
+    bit-for-bit."""
+    b, h, w2, lanes = x.shape
+    assert b == 1 and lanes % 128 == 0, x.shape
+    assert h % nr == 0 and nr % 4 == 0, (h, nr)
+    xs = x[0]
+    out = pl.pallas_call(
+        functools.partial(_res_block_kernel, nr, h),
+        grid=(h // nr,),
+        in_specs=[
+            pl.BlockSpec((4, w2, lanes),
+                         lambda i: (jnp.maximum(nr // 4 * i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, w2, lanes), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, w2, lanes),
+                         lambda i: (jnp.minimum(nr // 4 * (i + 1),
+                                                h // 4 - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 9 * lanes, lanes), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2, lanes), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nr, w2, lanes), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w2, lanes), jnp.int8),
+    )(xs, xs, xs, W, mc, rr)
+    return out[None]
+
+
+# ----------------------------------------------------------------------
 # standalone 3x3 stride-2 pad-1 maxpool on non-negative int8 codes
 # ----------------------------------------------------------------------
 
