@@ -264,14 +264,21 @@ def main():
         )
 
         if "nr16" in args.variant:
-            if "l1nr16" in args.variant or args.variant == "int8-nr16":
+            both = ("l1nr16" not in args.variant
+                    and "l2nr16" not in args.variant)
+            if "l1nr16" in args.variant or both:
                 _i8._L1_NR = 16
-            if "l2nr16" in args.variant or args.variant == "int8-nr16":
+            if "l2nr16" in args.variant or both:
                 _i8._L2_NR = 16
+                _i8._L3_NR = 16
+                _i8._L4_NR = 16
         if "l3" in args.variant:
             _i8._L3_ENABLE = True
         if "l4" in args.variant or "l34" in args.variant:
             _i8._L4_ENABLE = True
+        if "pin" in args.variant:
+            from torchseg_tpu.ops.pallas import int8_serve_kernels as _ik
+            _ik._PIN_X32_LAYOUT = True
         from torchseg_tpu.experiments.registry import (
             build_model as _bm,
             get_experiment as _ge,

@@ -49,6 +49,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# pin the x32 stem-pack output layout to the stem kernel's operand
+# constraint (kills the 0.24 ms {0,2,1}->{2,1,0} copy on the 67 MB
+# tensor IF the DUS fusions can write it directly) — chip-gated until
+# the A/B lands (perf_probe --variant int8-pin)
+_PIN_X32_LAYOUT = False
+
 
 # ----------------------------------------------------------------------
 # weight / input packing (XLA side)
@@ -389,6 +395,16 @@ def s2d_stem_pool_quad_i8(xs, wf, m, c, n_sp: int, *, nr: int = 8):
     assert h2 % (2 * nr) == 0 and w2 % 8 == 0, (h2, w2, nr)
 
     x32 = pack_stem_input_x32(xs)
+    if _PIN_X32_LAYOUT:
+        # the round-5 per-op trace shows XLA emitting the pack DUS
+        # fusion in layout {0,2,1} then paying a 0.24 ms copy to the
+        # kernel's {2,1,0} operand constraint on the 67 MB tensor —
+        # pin the pack output to row-major so the fusion writes the
+        # kernel's layout directly (chip A/B: perf_probe int8-pin)
+        from jax.experimental.layout import Layout, with_layout_constraint
+
+        x32 = with_layout_constraint(
+            x32, Layout(major_to_minor=(0, 1, 2)))
     w_pairs = pack_stem_weights(wf).astype(jnp.bfloat16)
     mf, cf = _epilogue_consts(m, c, cout)
     wq = w2 // 4
