@@ -664,19 +664,27 @@ def pack_resblock_weights(e1, e2):
             jnp.asarray(np.stack(rrs), jnp.float32))
 
 
+def _shifted3(row):
+    """(row, shift_dn(row), shift_up(row)) — computed ONCE per level
+    row and reused by all three consumer conv rows (the per-consumer
+    rebuild tripled the kernel's VPU shift traffic)."""
+    zero = jnp.zeros((1, row.shape[1]), row.dtype)
+    dn = jnp.concatenate([zero, row[:-1]], axis=0)
+    up = jnp.concatenate([row[1:], zero], axis=0)
+    return row, dn, up
+
+
 def _conv_row(rows, r, w_ref, j):
-    """One dual-parity conv row: rows maps block offsets to (W2, 128)
-    bf16 code rows (absent = zero pad row); returns the (W2, 128) f32
-    pre-epilogue accumulator — one K<=1152 dot."""
+    """One dual-parity conv row: rows maps block offsets to cached
+    (row, dn, up) triples of (W2, 128) bf16 code rows (absent = zero
+    pad row); returns the (W2, 128) f32 pre-epilogue accumulator — one
+    K<=1152 dot."""
     ops, wrows = [], []
     for dy in range(3):
-        row = rows.get(r - 1 + dy)
-        if row is None:
+        tri = rows.get(r - 1 + dy)
+        if tri is None:
             continue  # static zero row (image pad): contributes nothing
-        zero = jnp.zeros((1, 128), jnp.bfloat16)
-        dn = jnp.concatenate([zero, row[:-1]], axis=0)
-        up = jnp.concatenate([row[1:], zero], axis=0)
-        ops.extend((row, dn, up))
+        ops.extend(tri)
         wrows.append(w_ref[j, 384 * dy: 384 * (dy + 1), :])
     op = jnp.concatenate(ops, axis=1)
     wsel = jnp.concatenate(wrows, axis=0)
@@ -704,32 +712,34 @@ def _res_stage_kernel(nr, h4, x_top_ref, x_ref, x_bot_ref, w_ref, mc_ref,
         else:
             v = x_bot_ref[off - nr].astype(jnp.bfloat16)
         g = base + off
-        return jnp.where((g >= 0) & (g < h4), v, jnp.zeros_like(v))
+        return _shifted3(jnp.where((g >= 0) & (g < h4), v,
+                                   jnp.zeros_like(v)))
 
-    def level(rows, lo, hi, j, resid=None, rr=None):
+    def level(rows, lo, hi, j, resid=None, rr=None, last=False):
         """conv j over block offsets [lo, hi); rows maps offsets to
-        (W2,128) bf16 code rows.  Returns the next level's dict, rows
-        masked to zero outside the image (XLA's conv pad)."""
+        cached (row, dn, up) triples.  Returns the next level's dict
+        (also triples, except the last level), rows masked to zero
+        outside the image (XLA's conv pad)."""
         out = {}
         for off in range(lo, hi):
             y = _conv_row(rows, off, w_ref, j)
             if resid is not None:
                 z = jnp.maximum(
                     y * mc_ref[j, 0] + mc_ref[j, 1]
-                    + resid[off].astype(jnp.float32) * rr_ref[rr], 0.0)
+                    + resid[off][0].astype(jnp.float32) * rr_ref[rr], 0.0)
                 q = jnp.clip(jnp.round(z), 0.0, 127.0).astype(jnp.bfloat16)
             else:
                 q = _requant_rows(y, mc_ref, j)
             g = base + off
-            out[off] = jnp.where((g >= 0) & (g < h4), q,
-                                 jnp.zeros_like(q))
+            q = jnp.where((g >= 0) & (g < h4), q, jnp.zeros_like(q))
+            out[off] = q if last else _shifted3(q)
         return out
 
     x_rows = {off: in_row(off) for off in range(-4, nr + 4)}
     c1 = level(x_rows, -3, nr + 3, 0)
     b0 = level(c1, -2, nr + 2, 1, resid=x_rows, rr=0)
     c3 = level(b0, -1, nr + 1, 2)
-    b1 = level(c3, 0, nr, 3, resid=b0, rr=1)
+    b1 = level(c3, 0, nr, 3, resid=b0, rr=1, last=True)
     for off in range(nr):
         out_ref[off] = b1[off].astype(jnp.int8)
 
@@ -893,8 +903,8 @@ def _down_stage_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref, wd_ref,
     zrow = jnp.zeros((1, lanes), jnp.bfloat16)
 
     def in_row(off):
-        """Paired input row at block-relative h4-space offset, masked to
-        the zero pad outside the image."""
+        """Paired input row at block-relative h4-space offset (with its
+        cached dn shift), masked to the zero pad outside the image."""
         if off < -8 or off >= 2 * nr + 8:
             return None
         if off < 0:
@@ -904,7 +914,8 @@ def _down_stage_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref, wd_ref,
         else:
             v = x_bot_ref[off - 2 * nr].astype(jnp.bfloat16)
         g = 2 * base + off
-        return jnp.where((g >= 0) & (g < h4), v, jnp.zeros_like(v))
+        v = jnp.where((g >= 0) & (g < h4), v, jnp.zeros_like(v))
+        return v, jnp.concatenate([zrow, v[:-1]], axis=0)
 
     x_rows = {off: in_row(off) for off in range(-7, 2 * nr + 6)}
 
@@ -916,48 +927,48 @@ def _down_stage_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref, wd_ref,
         """conv1 (3x3/2 cin->2cin) output row t as bf16 codes."""
         pieces = []
         for dy in range(3):
-            a = x_rows[2 * t - 1 + dy]
-            dn = jnp.concatenate([zrow, a[:-1]], axis=0)
-            pieces.extend((a, dn))
+            pieces.extend(x_rows[2 * t - 1 + dy])
         acc = jnp.dot(jnp.concatenate(pieces, axis=1), wc1_ref[...],
                       preferred_element_type=jnp.float32)
         z = jnp.maximum(acc * mc_ref[0, 0] + mc_ref[0, 1], 0.0)
         q = jnp.clip(jnp.round(z), 0.0, 127.0).astype(jnp.bfloat16)
-        return mask8(q, t)
+        return _shifted3(mask8(q, t))
 
     def conv3_acc(rows, t, j):
         """stride-1 3x3 2cin->2cin accumulator at output row t: one
-        K=18cin dot over [dn, row, up] per dy."""
+        K=18cin dot over cached [dn, row, up] triples per dy."""
+        zero3 = None
         ops = []
         for dy in range(3):
-            r = rows.get(t - 1 + dy)
-            if r is None:
-                r = jnp.zeros((w2, lanes), jnp.bfloat16)
-            dn = jnp.concatenate([zrow, r[:-1]], axis=0)
-            up = jnp.concatenate([r[1:], zrow], axis=0)
-            ops.extend((dn, r, up))
+            tri = rows.get(t - 1 + dy)
+            if tri is None:
+                if zero3 is None:
+                    z = jnp.zeros((w2, lanes), jnp.bfloat16)
+                    zero3 = (z, z, z)
+                tri = zero3
+            ops.extend((tri[1], tri[0], tri[2]))
         return jnp.dot(jnp.concatenate(ops, axis=1), w3_ref[j],
                        preferred_element_type=jnp.float32)
 
     c1 = {t: c1_row(t) for t in range(-3, nr + 3)}
     b0 = {}
     for t in range(-2, nr + 2):
-        yd = jnp.dot(x_rows[2 * t][:, 0:lanes // 2], wd_ref[...],
+        yd = jnp.dot(x_rows[2 * t][0][:, 0:lanes // 2], wd_ref[...],
                      preferred_element_type=jnp.float32)
         z = (conv3_acc(c1, t, 0) * mc_ref[1, 0] + mc_ref[1, 1]
              + yd * mc_ref[2, 0] + mc_ref[2, 1])
         q = jnp.clip(jnp.round(jnp.maximum(z, 0.0)), 0.0,
                      127.0).astype(jnp.bfloat16)
-        b0[t] = mask8(q, t)
+        b0[t] = _shifted3(mask8(q, t))
     c3 = {}
     for t in range(-1, nr + 1):
         z = jnp.maximum(conv3_acc(b0, t, 1) * mc_ref[3, 0]
                         + mc_ref[3, 1], 0.0)
-        c3[t] = mask8(jnp.clip(jnp.round(z), 0.0,
-                               127.0).astype(jnp.bfloat16), t)
+        c3[t] = _shifted3(mask8(jnp.clip(jnp.round(z), 0.0,
+                                         127.0).astype(jnp.bfloat16), t))
     for t in range(nr):
         z = (conv3_acc(c3, t, 2) * mc_ref[4, 0] + mc_ref[4, 1]
-             + b0[t].astype(jnp.float32) * rr_ref[0])
+             + b0[t][0].astype(jnp.float32) * rr_ref[0])
         q = jnp.clip(jnp.round(jnp.maximum(z, 0.0)), 0.0, 127.0)
         out_ref[t] = q.astype(jnp.int8)
 
@@ -1087,7 +1098,8 @@ def _down_block_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref,
         else:
             v = x_bot_ref[off - 2 * nr].astype(jnp.bfloat16)
         g = 2 * base + off
-        return jnp.where((g >= 0) & (g < h4), v, jnp.zeros_like(v))
+        v = jnp.where((g >= 0) & (g < h4), v, jnp.zeros_like(v))
+        return v, jnp.concatenate([zrow, v[:-1]], axis=0)
 
     x_rows = {off: in_row(off) for off in range(-3, 2 * nr + 2)}
 
@@ -1098,26 +1110,22 @@ def _down_block_kernel(nr, h8, x_top_ref, x_ref, x_bot_ref, wc1_ref,
     def c1_row(t):
         pieces = []
         for dy in range(3):
-            a = x_rows[2 * t - 1 + dy]
-            dn = jnp.concatenate([zrow, a[:-1]], axis=0)
-            pieces.extend((a, dn))
+            pieces.extend(x_rows[2 * t - 1 + dy])
         acc = jnp.dot(jnp.concatenate(pieces, axis=1), wc1_ref[...],
                       preferred_element_type=jnp.float32)
         z = jnp.maximum(acc * mc_ref[0, 0] + mc_ref[0, 1], 0.0)
         q = jnp.clip(jnp.round(z), 0.0, 127.0).astype(jnp.bfloat16)
-        return mask8(q, t)
+        return _shifted3(mask8(q, t))
 
     c1 = {t: c1_row(t) for t in range(-1, nr + 1)}
     for t in range(nr):
         ops = []
         for dy in range(3):
-            r = c1[t - 1 + dy]
-            dn = jnp.concatenate([zrow, r[:-1]], axis=0)
-            up = jnp.concatenate([r[1:], zrow], axis=0)
-            ops.extend((dn, r, up))
+            tri = c1[t - 1 + dy]
+            ops.extend((tri[1], tri[0], tri[2]))
         acc = jnp.dot(jnp.concatenate(ops, axis=1), wc2_ref[...],
                       preferred_element_type=jnp.float32)
-        yd = jnp.dot(x_rows[2 * t][:, 0:lanes // 2], wd_ref[...],
+        yd = jnp.dot(x_rows[2 * t][0][:, 0:lanes // 2], wd_ref[...],
                      preferred_element_type=jnp.float32)
         z = (acc * mc_ref[1, 0] + mc_ref[1, 1]
              + yd * mc_ref[2, 0] + mc_ref[2, 1])
@@ -1170,7 +1178,6 @@ def _res_block_kernel(nr, h, x_top_ref, x_ref, x_bot_ref, w_ref, mc_ref,
     base = pl.program_id(0) * nr
     w2 = x_ref.shape[1]
     lanes = x_ref.shape[2]
-    zrow = jnp.zeros((1, lanes), jnp.bfloat16)
 
     def in_row(off):
         if off < -2 or off >= nr + 2:
@@ -1182,19 +1189,22 @@ def _res_block_kernel(nr, h, x_top_ref, x_ref, x_bot_ref, w_ref, mc_ref,
         else:
             v = x_bot_ref[off - nr].astype(jnp.bfloat16)
         g = base + off
-        return jnp.where((g >= 0) & (g < h), v, jnp.zeros_like(v))
+        return _shifted3(jnp.where((g >= 0) & (g < h), v,
+                                   jnp.zeros_like(v)))
 
     x_rows = {off: in_row(off) for off in range(-2, nr + 2)}
 
     def conv3(rows, t, j):
+        zero3 = None
         ops = []
         for dy in range(3):
-            r = rows.get(t - 1 + dy)
-            if r is None:
-                r = jnp.zeros((w2, lanes), jnp.bfloat16)
-            dn = jnp.concatenate([zrow, r[:-1]], axis=0)
-            up = jnp.concatenate([r[1:], zrow], axis=0)
-            ops.extend((dn, r, up))
+            tri = rows.get(t - 1 + dy)
+            if tri is None:
+                if zero3 is None:
+                    z = jnp.zeros((w2, lanes), jnp.bfloat16)
+                    zero3 = (z, z, z)
+                tri = zero3
+            ops.extend((tri[1], tri[0], tri[2]))
         return jnp.dot(jnp.concatenate(ops, axis=1), w_ref[j],
                        preferred_element_type=jnp.float32)
 
@@ -1204,10 +1214,11 @@ def _res_block_kernel(nr, h, x_top_ref, x_ref, x_bot_ref, w_ref, mc_ref,
                         + mc_ref[0, 1], 0.0)
         q = jnp.clip(jnp.round(z), 0.0, 127.0).astype(jnp.bfloat16)
         g = base + t
-        c3[t] = jnp.where((g >= 0) & (g < h), q, jnp.zeros_like(q))
+        c3[t] = _shifted3(jnp.where((g >= 0) & (g < h), q,
+                                    jnp.zeros_like(q)))
     for t in range(nr):
         z = (conv3(c3, t, 1) * mc_ref[1, 0] + mc_ref[1, 1]
-             + x_rows[t].astype(jnp.float32) * rr_ref[0])
+             + x_rows[t][0].astype(jnp.float32) * rr_ref[0])
         q = jnp.clip(jnp.round(jnp.maximum(z, 0.0)), 0.0, 127.0)
         out_ref[t] = q.astype(jnp.int8)
 
