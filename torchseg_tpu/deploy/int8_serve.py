@@ -881,20 +881,22 @@ def load_int8_package(path: str) -> dict:
 
 # fused-stage kernel block sizes (output rows per grid step).  Larger
 # blocks amortize the recomputed halo rows ((nr+6..nr)/nr per level);
-# chip A/B'd in DESIGN.md round-5 — callers degrade to any nr%4==0
-# divisor at odd geometries.
-_L1_NR = 8
-_L2_NR = 8
-_L3_NR = 8
+# chip A/B'd (DESIGN.md round-5): nr=16 on both stages is 2.453 vs
+# 2.536 ms @1024x2048 — callers degrade to any nr%4==0 divisor at odd
+# geometries via _pick_stage_nr.
+_L1_NR = 16
+_L2_NR = 16
+_L3_NR = 16
 # stage-3/4 kernel chain gates: unlike L1->L2 (zero-relayout handoff),
-# the L2->L3 and L3->L4 handoffs need an XLA pair-view reshape whose
-# cost is unmeasured on chip (tunnel outage) — OFF until the A/Bs land
-# (perf_probe --variant int8-l3 / int8-l34 flips them).  L4 runs as two
-# kernels (down block + res block): the 5-conv fused form needs
-# ~17.5 MB of resident weights at cin=256, over the ~16 MB VMEM.
+# the L2->L3 and L3->L4 handoffs need an XLA pair-view reshape, and the
+# chip A/B says it costs more than the kernels save — int8-l3 2.652 ms
+# and int8-l34 2.781 ms vs 2.536 ms with both OFF (perf_probe
+# --variant int8-l3 / int8-l34 flips them; DESIGN.md round-5).  L4
+# runs as two kernels (down block + res block): the 5-conv fused form
+# needs ~17.5 MB of resident weights at cin=256, over the ~16 MB VMEM.
 _L3_ENABLE = False
 _L4_ENABLE = False
-_L4_NR = 8
+_L4_NR = 16
 
 
 def _pick_stage_nr(rows: int, pref: int) -> int:
